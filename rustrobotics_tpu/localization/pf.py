@@ -1,0 +1,147 @@
+"""Particle filters with vectorized resampling.
+
+Capability parity with the reference SIR particle filter
+(src/localization/particle_filter.rs:21-220): MVN init around x0
+(pf.rs:52-56), propagate = prediction + additive MVN noise (pf.rs:90-94),
+weights from per-particle measurement likelihood (pf.rs:96-106), and three
+selectable resampling schemes (pf.rs:14-18).
+
+TPU-first: the particle cloud is one (N, S) array; propagation, weighting,
+and resampling are fused array ops. Resampling is cumsum + searchsorted
+(O(N log N) fully parallel) instead of the reference's sort-and-merge scan
+(pf.rs:329-357). Weights are carried in log space for numerical range.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from rustrobotics_tpu.localization.landmark_table import LandmarkTable
+from rustrobotics_tpu.utils.mvn import MultiVariateNormal
+from rustrobotics_tpu.utils.state import GaussianState
+
+
+def _index_sample(cum_weights, draws):
+    """Map draws in [0, total) to particle indices via the inverse CDF."""
+    idx = jnp.searchsorted(cum_weights, draws, side="left")
+    return jnp.clip(idx, 0, cum_weights.shape[0] - 1)
+
+
+def resample_multinomial(key, weights):
+    """IID multinomial resampling (role of pf.rs:274-288)."""
+    cum = jnp.cumsum(weights)
+    draws = jax.random.uniform(key, (weights.shape[0],), dtype=weights.dtype) * cum[-1]
+    return _index_sample(cum, draws)
+
+
+def resample_stratified(key, weights):
+    """Stratified: one uniform per stratum (role of pf.rs:290-307)."""
+    n = weights.shape[0]
+    cum = jnp.cumsum(weights)
+    u = jax.random.uniform(key, (n,), dtype=weights.dtype)
+    draws = (jnp.arange(n, dtype=weights.dtype) + u) / n * cum[-1]
+    return _index_sample(cum, draws)
+
+
+def resample_systematic(key, weights):
+    """Systematic: a single uniform offset (role of pf.rs:309-327)."""
+    n = weights.shape[0]
+    cum = jnp.cumsum(weights)
+    u = jax.random.uniform(key, (), dtype=weights.dtype)
+    draws = (jnp.arange(n, dtype=weights.dtype) + u) / n * cum[-1]
+    return _index_sample(cum, draws)
+
+
+_RESAMPLERS = {
+    "multinomial": resample_multinomial,
+    "stratified": resample_stratified,
+    "systematic": resample_systematic,
+}
+
+
+def gaussian_estimate(particles) -> GaussianState:
+    """Particle mean/cov (reference: pf.rs:222-240)."""
+    x = jnp.mean(particles, axis=0)
+    dx = particles - x
+    cov = dx.T @ dx / particles.shape[0]
+    return GaussianState(x=x, cov=cov)
+
+
+def init_particles(key, initial_state: GaussianState, noise_cov, num_particles):
+    """Sample the initial cloud around x0 (reference: pf.rs:52-56)."""
+    mvn = MultiVariateNormal.create(initial_state.x, noise_cov)
+    return mvn.sample(key, (num_particles,))
+
+
+@flax.struct.dataclass
+class ParticleFilter:
+    """SIR PF with additive process noise (reference: pf.rs:21-118)."""
+
+    r: jnp.ndarray  # (S, S) process noise added after propagation
+    q: jnp.ndarray  # (Z, Z) measurement noise
+    motion_model: Any
+    measurement_model: Any
+    resampling: str = flax.struct.field(pytree_node=False, default="systematic")
+
+    def step(self, key, particles, u, z, dt):
+        k_noise, k_resample = jax.random.split(key)
+        # propagate + additive MVN noise (pf.rs:90-94)
+        pred = self.motion_model.prediction(particles, u, dt)
+        noise = MultiVariateNormal.create(
+            jnp.zeros(particles.shape[-1], dtype=particles.dtype), self.r
+        )
+        pred = pred + noise.sample(k_noise, (particles.shape[0],))
+        # weight by measurement likelihood (pf.rs:96-106), log-space
+        meas_noise = MultiVariateNormal.create(
+            jnp.zeros(z.shape[-1], dtype=z.dtype), self.q
+        )
+        z_pred = self.measurement_model.prediction(pred)
+        logw = meas_noise.logpdf(z - z_pred)
+        w = jnp.exp(logw - jnp.max(logw))
+        idx = _RESAMPLERS[self.resampling](k_resample, w)
+        return pred[idx]
+
+
+@flax.struct.dataclass
+class ParticleFilterKnownCorrespondences:
+    """Landmark PF (reference: pf.rs:121-220): propagate through the noisy
+    motion sampler, weight over all matched landmarks, multinomial resample.
+
+    ``step`` consumes one merged event (optional control + padded
+    measurement block), matching the UTIAS replay loop
+    (examples/localization/localization_landmarks.rs:80-105).
+    """
+
+    q: jnp.ndarray  # (Z, Z)
+    landmarks: LandmarkTable
+    motion_model: Any
+    measurement_model: Any
+    resampling: str = flax.struct.field(pytree_node=False, default="multinomial")
+
+    def step(self, key, particles, u, has_control, ids, z, mask, dt):
+        k_prop, k_resample = jax.random.split(key)
+        prop = self.motion_model.sample(k_prop, particles, u, dt)
+        particles = jnp.where(has_control, prop, particles)
+
+        lms, valid = self.landmarks.lookup(ids)
+        valid = jnp.logical_and(valid, mask)
+        meas_noise = MultiVariateNormal.create(
+            jnp.zeros(z.shape[-1], dtype=z.dtype), self.q
+        )
+
+        # (M, N, Z): every particle against every valid measurement
+        z_pred = jax.vmap(
+            lambda lm: self.measurement_model.prediction(particles, lm)
+        )(lms)
+        logw_per = meas_noise.logpdf(z[:, None, :] - z_pred)  # (M, N)
+        logw = jnp.sum(jnp.where(valid[:, None], logw_per, 0.0), axis=0)
+
+        any_meas = jnp.any(valid)
+        w = jnp.exp(logw - jnp.max(logw))
+        idx = _RESAMPLERS[self.resampling](k_resample, w)
+        resampled = particles[idx]
+        return jnp.where(any_meas, resampled, particles)
