@@ -29,7 +29,7 @@ def _combine(elem_a, elem_b):
     d = eye + c1 @ j2
     d_inv = jnp.linalg.inv(d)
     a = a2 @ d_inv @ a1
-    b = a2 @ d_inv @ (b1[..., None] + c1 @ e2[..., None])[..., 0] + b2
+    b = (a2 @ d_inv @ (b1[..., None] + c1 @ e2[..., None]))[..., 0] + b2
     c = a2 @ d_inv @ c1 @ jnp.swapaxes(a2, -1, -2) + c2
     dt_inv = jnp.swapaxes(d_inv, -1, -2)  # (I + J2 C1)^-1 for symmetric C, J
     e = (
