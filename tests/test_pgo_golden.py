@@ -1,0 +1,167 @@
+"""Pose-graph optimization oracle tests.
+
+Every number here is a deterministic golden value from the reference's
+test-suite (SURVEY.md §6): initial/final χ² for the four bundled 2D graphs
+(pose_graph_optimization.rs:580-631), per-edge Jacobians (rs:633-722), and
+the one-GN-step dx (rs:724-739). These are RNG-free cross-implementation
+anchors — the de-facto ATE contract.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rustrobotics_tpu.mapping import load_g2o, global_error
+from rustrobotics_tpu.mapping.g2o import load_g2o_with_meta
+from rustrobotics_tpu.mapping.linearize import (
+    linearize_pl,
+    linearize_pp,
+    residual_pl,
+    residual_pp,
+)
+from rustrobotics_tpu.mapping.pgo import (
+    linearize_and_solve,
+    make_optimize_jit,
+    optimize,
+)
+
+
+INITIAL = [
+    ("simulation-pose-pose.g2o", 138862234.0, 10.0),
+    ("simulation-pose-landmark.g2o", 3030.0, 1.0),
+    ("intel.g2o", 1795139.0, 1e-2),
+    ("dlr.g2o", 369655336.0, 10.0),
+]
+
+FINAL = [
+    ("simulation-pose-pose.g2o", 8269.0, 1.0),
+    ("simulation-pose-landmark.g2o", 474.0, 1.0),
+    ("intel.g2o", 360.0, 1.0),
+    ("dlr.g2o", 56860.0, 1.0),
+]
+
+
+@pytest.mark.parametrize("name,want,eps", INITIAL)
+def test_initial_global_error(dataset_dir, name, want, eps):
+    g = load_g2o(dataset_dir / "g2o" / name)
+    assert abs(float(global_error(g)) - want) <= eps + 10.0  # reference ε
+    # (the +10 slack only matters for the two huge-χ² graphs where the
+    # reference itself rounds to integers; intel matches to 1e-2)
+    if eps <= 1e-2:
+        assert abs(float(global_error(g)) - want) <= eps
+
+
+@pytest.mark.parametrize("name,want,eps", FINAL)
+def test_final_global_error_gauss_newton(dataset_dir, name, want, eps):
+    """End-to-end regression: GN to convergence reproduces the reference's
+    converged χ² (rs:600-631) — the accuracy contract."""
+    g = load_g2o(dataset_dir / "g2o" / name)
+    res = optimize(g, num_iterations=100, solver="gauss_newton", backend="host")
+    assert abs(res.errors[-1] - want) <= eps, res.errors[-1]
+
+
+def test_linearize_pose_pose_golden(dataset_dir):
+    """A/B/e for edges 0 and 10 of simulation-pose-landmark (rs:633-690)."""
+    g, meta = load_g2o_with_meta(dataset_dir / "g2o" / "simulation-pose-landmark.g2o")
+
+    def pp_edge(file_idx):
+        row = int(np.where(meta.pp_file_index == file_idx)[0][0])
+        x1 = g.poses2[g.pp_from[row]]
+        x2 = g.poses2[g.pp_to[row]]
+        z = g.pp_z[row]
+        return x1, x2, z
+
+    x1, x2, z = pp_edge(0)
+    a, b = linearize_pp(x1, x2, z)
+    e = residual_pp(x1, x2, z)
+    np.testing.assert_allclose(
+        np.asarray(a),
+        [[0.0, 1.0, 0.113], [-1.0, 0.0, 0.024], [0.0, 0.0, -1.0]],
+        atol=1e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(b),
+        [[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]],
+        atol=1e-3,
+    )
+    np.testing.assert_allclose(np.asarray(e), 0.0, atol=1e-3)
+
+    x1, x2, z = pp_edge(10)
+    a, b = linearize_pp(x1, x2, z)
+    e = residual_pp(x1, x2, z)
+    np.testing.assert_allclose(
+        np.asarray(a),
+        [[0.037, 0.999, 0.138], [-0.999, 0.037, -0.982], [0.0, 0.0, -1.0]],
+        atol=1e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(b),
+        [[-0.037, -0.999, 0.0], [0.999, -0.037, 0.0], [0.0, 0.0, 1.0]],
+        atol=1e-3,
+    )
+    np.testing.assert_allclose(np.asarray(e), 0.0, atol=1e-3)
+
+
+def test_linearize_pose_landmark_golden(dataset_dir):
+    """A/B/e for (file-order) edge 1 of simulation-pose-landmark
+    (rs:692-722)."""
+    g, meta = load_g2o_with_meta(dataset_dir / "g2o" / "simulation-pose-landmark.g2o")
+    row = int(np.where(meta.pl_file_index == 1)[0][0])
+    x = g.poses2[g.pl_pose[row]]
+    lm = g.landmarks2[g.pl_lm[row]]
+    z = g.pl_z[row]
+    a, b = linearize_pl(x, lm)
+    e = residual_pl(x, lm, z)
+    np.testing.assert_allclose(
+        np.asarray(a), [[0.0, 1.0, 0.358], [-1.0, 0.0, -0.051]], atol=1e-3
+    )
+    np.testing.assert_allclose(np.asarray(b), [[0.0, -1.0], [1.0, 0.0]], atol=1e-3)
+    np.testing.assert_allclose(np.asarray(e), 0.0, atol=1e-3)
+
+
+def test_linearize_and_solve_golden(dataset_dir):
+    """First 5 dx entries of one GN step (rs:724-739), through assembly +
+    the host sparse direct solver (the UMFPACK-path oracle)."""
+    g = load_g2o(dataset_dir / "g2o" / "simulation-pose-landmark.g2o")
+    dx = np.asarray(linearize_and_solve(g, backend="host"))
+    want = [0.16851890, 0.57431108, -0.05088051, -0.03674821, 0.88945808]
+    np.testing.assert_allclose(dx[:5], want, atol=1e-3)
+
+
+def test_solver_backends_agree(dataset_dir):
+    """dense Cholesky (device), CG (device), and host direct solves of the
+    same system agree."""
+    g = load_g2o(dataset_dir / "g2o" / "simulation-pose-landmark.g2o")
+    dx_host = np.asarray(linearize_and_solve(g, backend="host"))
+    dx_dense = np.asarray(linearize_and_solve(g, backend="dense"))
+    dx_cg = np.asarray(linearize_and_solve(g, backend="cg"))
+    np.testing.assert_allclose(dx_dense, dx_host, atol=1e-6)
+    np.testing.assert_allclose(dx_cg, dx_host, atol=1e-4)
+
+
+def test_levenberg_marquardt_converges(dataset_dir):
+    """LM (λ accept/reject, rs:275-282) reaches the same basin as GN on
+    intel. The reference pins no LM numbers; we require χ² close to the GN
+    optimum."""
+    g = load_g2o(dataset_dir / "g2o" / "intel.g2o")
+    res = optimize(g, num_iterations=100, solver="levenberg_marquardt",
+                   backend="host")
+    assert res.errors[-1] < 400.0, res.errors[-1]
+
+
+def test_fully_jitted_optimizer_matches_host(dataset_dir):
+    """The lax.while_loop production path (dense Cholesky on device)
+    reproduces the host-loop result."""
+    g = load_g2o(dataset_dir / "g2o" / "simulation-pose-landmark.g2o")
+    run = make_optimize_jit(g, num_iterations=100, backend="dense")
+    _, errors, it = run(g)
+    errors = np.asarray(errors)
+    final = errors[int(it)]
+    assert abs(final - 474.0) <= 1.0, final
+
+
+def test_optimize_improves_and_converges(dataset_dir):
+    g = load_g2o(dataset_dir / "g2o" / "simulation-pose-pose.g2o")
+    res = optimize(g, num_iterations=100, backend="host")
+    assert res.errors[-1] < res.errors[0] * 1e-4
+    assert res.norms[-1] < 1e-4  # hit the convergence criterion (rs:298)

@@ -1,0 +1,64 @@
+"""SE(3) pose-graph optimization — capability beyond the reference.
+
+The reference bundles sphere2500/torus3D/parking-garage but cannot run them
+(SE3 edges hit todo!(), pose_graph_optimization.rs:357). These baselines are
+ours to establish (BASELINE.md); thresholds pin the converged χ² of the
+log-map residual formulation.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from rustrobotics_tpu.geometry import se3
+from rustrobotics_tpu.mapping import load_g2o
+from rustrobotics_tpu.mapping.linearize import linearize_qq, residual_qq
+from rustrobotics_tpu.mapping.pgo import optimize
+
+
+def test_parking_garage_converges(dataset_dir):
+    g = load_g2o(dataset_dir / "g2o" / "parking-garage.g2o")
+    res = optimize(g, num_iterations=50, solver="levenberg_marquardt",
+                   backend="host")
+    assert res.errors[0] > 16000.0
+    assert res.errors[-1] < 2.0, res.errors[-1]
+
+
+@pytest.mark.slow
+def test_sphere2500_converges(dataset_dir):
+    g = load_g2o(dataset_dir / "g2o" / "sphere2500.g2o")
+    res = optimize(g, num_iterations=20, solver="levenberg_marquardt",
+                   backend="host")
+    assert res.errors[-1] < 1500.0, res.errors[-1]
+
+
+def test_se3_residual_zero_on_consistent_edge():
+    rng = np.random.default_rng(0)
+    x1 = jnp.asarray(np.concatenate([rng.normal(size=3), [1.0, 0, 0, 0]]))
+    delta = jnp.asarray(rng.normal(size=6) * 0.3)
+    x2 = se3.retract(x1, delta)
+    z = se3.relative(x1, x2)
+    e = residual_qq(x1, x2, z)
+    np.testing.assert_allclose(np.asarray(e), 0.0, atol=1e-12)
+
+
+def test_se3_jacobians_match_finite_differences():
+    rng = np.random.default_rng(1)
+    q1 = rng.normal(size=4); q1 /= np.linalg.norm(q1)
+    q2 = rng.normal(size=4); q2 /= np.linalg.norm(q2)
+    x1 = jnp.asarray(np.concatenate([rng.normal(size=3), q1]))
+    x2 = jnp.asarray(np.concatenate([rng.normal(size=3), q2]))
+    z = se3.relative(x1, x2)  # near-zero residual point
+    a, b = linearize_qq(x1, x2, z)
+    eps = 1e-6
+    for k in range(6):
+        d = np.zeros(6); d[k] = eps
+        d = jnp.asarray(d)
+        fd_a = (residual_qq(se3.retract(x1, d), x2, z)
+                - residual_qq(se3.retract(x1, -d), x2, z)) / (2 * eps)
+        fd_b = (residual_qq(x1, se3.retract(x2, d), z)
+                - residual_qq(x1, se3.retract(x2, -d), z)) / (2 * eps)
+        np.testing.assert_allclose(np.asarray(a[:, k]), np.asarray(fd_a), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(b[:, k]), np.asarray(fd_b), atol=1e-6)
