@@ -107,12 +107,17 @@ def build_layout(graph: PoseGraphData) -> SystemLayout:
 
 
 def _quad_blocks(e, a, b, omega):
-    """(H_ii, H_ij, H_ji, H_jj, b_i, b_j) for a batch of edges."""
-    at_om = jnp.einsum("eki,ekl->eil", a, omega)
-    bt_om = jnp.einsum("eki,ekl->eil", b, omega)
-    h_ii = jnp.einsum("eil,elj->eij", at_om, a)
-    h_ij = jnp.einsum("eil,elj->eij", at_om, b)
-    h_jj = jnp.einsum("eil,elj->eij", bt_om, b)
+    """(H_ii, H_ij, H_ji, H_jj, b_i, b_j) for a batch of edges.
+
+    Full-f32 einsum passes (see linearize._precise): default TPU bf16
+    matmuls make H indefinite on ill-conditioned graphs.
+    """
+    at_om = jnp.einsum("eki,ekl->eil", a, omega,
+                       precision=jax.lax.Precision.HIGHEST)
+    bt_om = jnp.einsum("eki,ekl->eil", b, omega, precision=jax.lax.Precision.HIGHEST)
+    h_ii = jnp.einsum("eil,elj->eij", at_om, a, precision=jax.lax.Precision.HIGHEST)
+    h_ij = jnp.einsum("eil,elj->eij", at_om, b, precision=jax.lax.Precision.HIGHEST)
+    h_jj = jnp.einsum("eil,elj->eij", bt_om, b, precision=jax.lax.Precision.HIGHEST)
     h_ji = jnp.swapaxes(h_ij, -1, -2)
     b_i = jnp.einsum("eil,el->ei", at_om, e)
     b_j = jnp.einsum("eil,el->ei", bt_om, e)

@@ -23,6 +23,19 @@ import jax.numpy as jnp
 from rustrobotics_tpu.geometry import se2, se3
 
 
+def _precise(fn):
+    """Trace with full-f32 matmul passes: TPU's default bf16 matmul
+    precision corrupts the normal equations enough to break Cholesky
+    (observed NaN on intel.g2o); these are tiny-dim einsums where the
+    extra passes cost nothing."""
+
+    def wrapped(*args, **kw):
+        with jax.default_matmul_precision("highest"):
+            return fn(*args, **kw)
+
+    return wrapped
+
+
 # ----------------------------------------------------------------- SE2
 
 
@@ -89,6 +102,7 @@ def linearize_qq(x1, x2, z):
 # ------------------------------------------------------------- batched
 
 
+@_precise
 def edge_terms_pp(poses, pp_from, pp_to, pp_z, pp_omega):
     """Vmapped SE2-SE2 terms: residuals (E,3), A (E,3,3), B (E,3,3),
     chi2 contributions (E,)."""
@@ -100,6 +114,7 @@ def edge_terms_pp(poses, pp_from, pp_to, pp_z, pp_omega):
     return e, a, b, chi2
 
 
+@_precise
 def edge_terms_pl(poses, landmarks, pl_pose, pl_lm, pl_z, pl_omega):
     x = poses[pl_pose]
     lm = landmarks[pl_lm]
@@ -109,6 +124,7 @@ def edge_terms_pl(poses, landmarks, pl_pose, pl_lm, pl_z, pl_omega):
     return e, a, b, chi2
 
 
+@_precise
 def edge_terms_qq(poses3, qq_from, qq_to, qq_z, qq_omega):
     x1 = poses3[qq_from]
     x2 = poses3[qq_to]

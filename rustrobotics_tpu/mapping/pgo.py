@@ -153,8 +153,7 @@ def make_optimize_jit(
 
     if backend == "dense":
         def solve(vals, b):
-            h = dense_hessian(layout, vals)
-            return jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(h), b)
+            return solvers.solve_dense(layout, vals, b)
     elif backend == "cg":
         def solve(vals, b):
             return solvers.solve_cg(layout, vals, b, tol=cg_tol)
@@ -182,7 +181,8 @@ def make_optimize_jit(
 
     def cond(state):
         _, _, _, it, norm_dx, _ = state
-        return jnp.logical_and(it < num_iterations, norm_dx >= tolerance)
+        return jnp.logical_and(it < num_iterations,
+                               jnp.logical_not(norm_dx < tolerance))
 
     @jax.jit
     def run(graph):

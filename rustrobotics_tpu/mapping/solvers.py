@@ -24,10 +24,23 @@ from rustrobotics_tpu.mapping.assemble import SystemLayout, dense_hessian
 
 
 def solve_dense(layout: SystemLayout, vals, b):
-    """Jittable dense Cholesky solve."""
+    """Jittable dense Cholesky solve with symmetric Jacobi scaling.
+
+    The +1e7 gauge prior (rs:331) pushes the condition number past what
+    f32 Cholesky tolerates; scaling by D^-1/2 (D = diag H) brings every
+    diagonal to 1 and makes the f32 TPU path stable while leaving f64
+    results unchanged to roundoff.
+    """
     h = dense_hessian(layout, vals)
-    cf = jax.scipy.linalg.cho_factor(h)
-    return jax.scipy.linalg.cho_solve(cf, b)
+    d = jnp.sqrt(jnp.clip(jnp.diagonal(h), 1e-12, None))
+    hs = h / (d[:, None] * d[None, :])
+    # Full-f32 matmul passes for the factorization only: TPU default (bf16
+    # passes) NaNs on this conditioning; the rest of the pipeline stays at
+    # default precision for speed.
+    with jax.default_matmul_precision("highest"):
+        cf = jax.scipy.linalg.cho_factor(hs)
+        out = jax.scipy.linalg.cho_solve(cf, b / d) / d
+    return out
 
 
 def solve_host(layout: SystemLayout, vals, b):

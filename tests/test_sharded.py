@@ -1,0 +1,98 @@
+"""Distributed-path tests on the virtual 8-device CPU mesh.
+
+Oracle: the sharded kernels must reproduce single-device numerics — the
+distributed GN step equals the host direct solve, the distributed optimize
+reaches the reference's converged χ² (SURVEY §6), and the sharded PF matches
+the statistics of the single-device PF.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rustrobotics_tpu.localization.pf import ParticleFilter, gaussian_estimate
+from rustrobotics_tpu.mapping import load_g2o, global_error
+from rustrobotics_tpu.mapping.pgo import linearize_and_solve, optimize
+from rustrobotics_tpu.models import (
+    SimpleProblemMeasurementModel,
+    SimpleProblemMotionModel,
+)
+from rustrobotics_tpu.parallel import (
+    distributed_gn_step,
+    distributed_global_error,
+    distributed_optimize,
+    make_mesh,
+)
+from rustrobotics_tpu.parallel.pf_sharded import make_sharded_pf_step
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    return make_mesh(8, axis="shard")
+
+
+def test_distributed_error_matches_local(dataset_dir, mesh8):
+    g = load_g2o(dataset_dir / "g2o" / "simulation-pose-landmark.g2o")
+    want = float(global_error(g))
+    got = float(distributed_global_error(mesh8, g))
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_distributed_gn_step_matches_direct_solve(dataset_dir, mesh8):
+    """Edge-sharded psum-CG dx == host sparse direct dx (same system)."""
+    g = load_g2o(dataset_dir / "g2o" / "simulation-pose-landmark.g2o")
+    dx_direct = np.asarray(linearize_and_solve(g, backend="host"))
+    dx_dist, chi2 = distributed_gn_step(mesh8, g, lam=0.0, cg_tol=1e-13)
+    np.testing.assert_allclose(float(chi2), float(global_error(g)), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(dx_dist), dx_direct, atol=1e-5)
+
+
+def test_distributed_optimize_reaches_reference_chi2(dataset_dir, mesh8):
+    """Full distributed GN on intel converges to the reference's golden
+    χ² = 360 ± 1 (rs:616-621) — the multi-device accuracy contract."""
+    g = load_g2o(dataset_dir / "g2o" / "intel.g2o")
+    _, errors, _ = distributed_optimize(
+        mesh8, g, num_iterations=50, cg_tol=1e-12
+    )
+    assert abs(errors[-1] - 360.0) <= 1.0, errors[-1]
+
+
+def test_distributed_matches_single_device_trajectory(dataset_dir, mesh8):
+    """Per-iteration χ² trace of distributed GN ≈ host-loop GN."""
+    g = load_g2o(dataset_dir / "g2o" / "simulation-pose-pose.g2o")
+    res = optimize(g, num_iterations=5, backend="host")
+    _, errors, _ = distributed_optimize(mesh8, g, num_iterations=5, cg_tol=1e-13)
+    np.testing.assert_allclose(errors[:3], res.errors[:3], rtol=1e-5)
+
+
+def test_sharded_pf_matches_single_device_stats(mesh8):
+    pf = ParticleFilter(
+        r=jnp.eye(4) * 0.01,
+        q=jnp.eye(2) * 0.1,
+        motion_model=SimpleProblemMotionModel.create(),
+        measurement_model=SimpleProblemMeasurementModel.create(),
+        resampling="systematic",
+    )
+    n = 4096
+    key = jax.random.key(0)
+    particles = jax.random.normal(key, (n, 4)) * 0.5
+    u = jnp.array([1.0, 0.1])
+    z = jnp.array([0.12, 0.03])
+
+    step = make_sharded_pf_step(mesh8, pf, n)
+    out_sharded = step(jax.random.key(1), particles, u, z, 0.1)
+    out_single = pf.step(jax.random.key(1), particles, u, z, 0.1)
+
+    est_sh = gaussian_estimate(out_sharded)
+    est_si = gaussian_estimate(out_single)
+    np.testing.assert_allclose(
+        np.asarray(est_sh.x), np.asarray(est_si.x), atol=0.05
+    )
+    np.testing.assert_allclose(
+        np.asarray(est_sh.cov), np.asarray(est_si.cov), atol=0.05
+    )
+    # posterior concentrates near the observation
+    np.testing.assert_allclose(np.asarray(est_sh.x[:2]), np.asarray(z), atol=0.15)
