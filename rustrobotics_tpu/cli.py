@@ -1,0 +1,207 @@
+"""Non-interactive CLI (reference layer L7).
+
+The reference's user surface is four dialoguer-menu binaries
+(examples/localization/*, examples/mapping/*, examples/control/*,
+Cargo.toml:55-73). Production TPU jobs can't block on menus, so the same
+capabilities are argparse subcommands:
+
+    python -m rustrobotics_tpu.cli localization --algo ekf --plot out.png
+    python -m rustrobotics_tpu.cli landmarks --dataset <utias0> --algo pf
+    python -m rustrobotics_tpu.cli pgo --file intel.g2o --solver gn --plot d/
+    python -m rustrobotics_tpu.cli pendulum --plot out.png
+    python -m rustrobotics_tpu.cli bench
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+
+def _dataset_root():
+    return os.environ.get("RUSTROBOTICS_DATASET", "/root/reference/dataset")
+
+
+def _apply_precision(args):
+    """--x64 is the CPU verification mode: TPUs have no native f64 (and no
+    f64 LU/Cholesky), so x64 always pairs with the CPU backend."""
+    import jax
+
+    if getattr(args, "x64", False):
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+
+
+def cmd_localization(args):
+    import numpy as np
+
+    _apply_precision(args)
+    import jax
+    from rustrobotics_tpu.localization.simulation import run_simulation_jit
+
+    hist = run_simulation_jit(
+        jax.random.key(args.seed), algo=args.algo,
+        sim_time=args.sim_time, num_particles=args.particles,
+    )
+    err = np.sqrt(np.mean(np.sum(
+        (np.asarray(hist["x_est"][:, :2]) - np.asarray(hist["x_true"][:, :2])) ** 2,
+        axis=-1)))
+    dr = np.sqrt(np.mean(np.sum(
+        (np.asarray(hist["x_dr"][:, :2]) - np.asarray(hist["x_true"][:, :2])) ** 2,
+        axis=-1)))
+    print(f"{args.algo}: est-RMSE {err:.3f} m, dead-reckoning {dr:.3f} m")
+    if args.plot:
+        from rustrobotics_tpu.utils.plot import plot_filter_history
+
+        print("saved", plot_filter_history(hist, args.plot, title=args.algo))
+
+
+def cmd_landmarks(args):
+    _apply_precision(args)
+    from rustrobotics_tpu.data import load_utias
+    from rustrobotics_tpu.localization.landmark_replay import (
+        ate_vs_groundtruth,
+        run_utias_localization,
+    )
+
+    base = args.dataset or (_dataset_root() + "/utias0")
+    ds = load_utias(base)
+    t0 = time.time()
+    times, states = run_utias_localization(
+        ds, algo=args.algo, max_events=args.events,
+        num_particles=args.particles, seed=args.seed,
+    )
+    ate = ate_vs_groundtruth(ds, times, states)
+    print(f"{args.algo}: {len(times)} events in {time.time()-t0:.2f}s, "
+          f"ATE {ate:.3f} m")
+    if args.plot:
+        import numpy as np
+
+        from rustrobotics_tpu.utils.plot import plot_landmark_localization
+
+        gt = ds.groundtruth
+        gx = np.interp(times, gt[:, 0], gt[:, 1])
+        gy = np.interp(times, gt[:, 0], gt[:, 2])
+        print("saved", plot_landmark_localization(
+            np.asarray(states.x[:, :2]), ds.landmarks[:, :2],
+            np.stack([gx, gy], -1), args.plot,
+            title=f"{args.algo} landmarks",
+        ))
+
+
+def cmd_pgo(args):
+    _apply_precision(args)
+    from rustrobotics_tpu.mapping import PoseGraph
+
+    path = args.file
+    if not os.path.exists(path):
+        path = _dataset_root() + "/g2o/" + args.file
+        if not path.endswith(".g2o"):
+            path += ".g2o"
+    solver = {"gn": "gauss_newton", "lm": "levenberg_marquardt"}.get(
+        args.solver, args.solver
+    )
+    graph = PoseGraph(path, solver=solver)
+    if args.plot:
+        os.makedirs(args.plot, exist_ok=True)
+    errors = graph.optimize(
+        num_iterations=args.iterations, log=True, backend=args.backend,
+        plot=bool(args.plot), out_dir=args.plot or "img",
+    )
+    print(f"final error: {errors[-1]:.5f}")
+
+
+def cmd_pendulum(args):
+    import numpy as np
+
+    _apply_precision(args)
+    from rustrobotics_tpu.control import simulate_inverted_pendulum
+
+    states, commands = simulate_inverted_pendulum(
+        sim_time=args.sim_time, dt=args.dt
+    )
+    final = np.asarray(states[-1])
+    print(f"final state: x={final[0]:.5f} x_dot={final[1]:.5f} "
+          f"theta={final[2]:.5f} theta_dot={final[3]:.5f}")
+    if args.plot:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        t = np.arange(states.shape[0]) * args.dt
+        fig, ax = plt.subplots(figsize=(9, 5))
+        for i, lbl in enumerate(["x", "x dot", "theta", "theta dot"]):
+            ax.plot(t, np.asarray(states[:, i]), label=lbl)
+        ax.plot(t, np.asarray(commands), "--", label="u")
+        ax.legend()
+        ax.set_xlabel("t [s]")
+        fig.savefig(args.plot, dpi=110, bbox_inches="tight")
+        print("saved", args.plot)
+
+
+def cmd_bench(args):
+    del args
+    import runpy
+
+    runpy.run_path(os.path.join(os.path.dirname(__file__), "..", "bench.py"),
+                   run_name="__main__")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="rustrobotics_tpu",
+                                description=__doc__,
+                                formatter_class=argparse.RawDescriptionHelpFormatter)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--seed", type=int, default=0)
+        sp.add_argument("--x64", action="store_true",
+                        help="float64 on CPU (verification mode; TPUs have no f64)")
+
+    sp = sub.add_parser("localization", help="simulated unicycle EKF/UKF/PF")
+    common(sp)
+    sp.add_argument("--algo", choices=["ekf", "ukf", "pf"], default="ekf")
+    sp.add_argument("--sim-time", type=float, default=50.0)
+    sp.add_argument("--particles", type=int, default=300)
+    sp.add_argument("--plot", default=None, help="output PNG path")
+    sp.set_defaults(fn=cmd_localization)
+
+    sp = sub.add_parser("landmarks", help="UTIAS landmark localization")
+    common(sp)
+    sp.add_argument("--dataset", default=None, help="utias directory")
+    sp.add_argument("--algo", choices=["ekf", "pf"], default="ekf")
+    sp.add_argument("--events", type=int, default=10000)
+    sp.add_argument("--particles", type=int, default=300)
+    sp.add_argument("--plot", default=None)
+    sp.set_defaults(fn=cmd_landmarks)
+
+    sp = sub.add_parser("pgo", help="pose-graph optimization on a g2o file")
+    common(sp)
+    sp.add_argument("--file", required=True,
+                    help="g2o path or bundled name (e.g. intel)")
+    sp.add_argument("--solver", choices=["gn", "lm"], default="gn")
+    sp.add_argument("--backend", choices=["host", "dense", "cg"],
+                    default="host")
+    sp.add_argument("--iterations", type=int, default=50)
+    sp.add_argument("--plot", default=None, help="output directory for PNGs")
+    sp.set_defaults(fn=cmd_pgo)
+
+    sp = sub.add_parser("pendulum", help="LQR inverted pendulum")
+    common(sp)
+    sp.add_argument("--sim-time", type=float, default=5.0)
+    sp.add_argument("--dt", type=float, default=0.01)
+    sp.add_argument("--plot", default=None)
+    sp.set_defaults(fn=cmd_pendulum)
+
+    sp = sub.add_parser("bench", help="run the headline benchmark")
+    sp.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

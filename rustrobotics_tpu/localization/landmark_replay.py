@@ -1,0 +1,128 @@
+"""Landmark-based localization on the UTIAS dataset — full replay as one
+``lax.scan``.
+
+Role of the reference's ``localization_landmarks`` example
+(examples/localization/localization_landmarks.rs:17-124): EKF-KC or PF-KC
+against the barcode-keyed landmark map, consuming the merged
+odometry/measurement event stream. The reference iterates 10k events in
+Python^W Rust one dynamic dispatch at a time; here the entire replay is a
+single jitted scan over the fixed-shape EventArrays.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rustrobotics_tpu.data.utias import UtiasDataset
+from rustrobotics_tpu.localization.ekf import (
+    ExtendedKalmanFilterKnownCorrespondences,
+)
+from rustrobotics_tpu.localization.landmark_table import LandmarkTable
+from rustrobotics_tpu.localization.pf import (
+    ParticleFilterKnownCorrespondences,
+    gaussian_estimate,
+)
+from rustrobotics_tpu.models import (
+    RangeBearingMeasurementModel,
+    VelocityMotionModel,
+)
+from rustrobotics_tpu.utils.state import GaussianState
+
+
+def build_filter(dataset: UtiasDataset, algo: str = "ekf", dtype=jnp.float64):
+    """Noise settings of the reference example (ll.rs:37-43)."""
+    landmarks = LandmarkTable.create(
+        ids=dataset.landmark_ids,
+        positions=np.concatenate(
+            [dataset.landmarks[:, :2], np.zeros((len(dataset.landmarks), 1))],
+            axis=1,
+        ),
+    )
+    motion = VelocityMotionModel.create(
+        jnp.asarray([1.0, 1.0, 30.0, 30.0, 10.0, 10.0], dtype=dtype)
+    )
+    meas = RangeBearingMeasurementModel.create()
+    q = jnp.diag(jnp.asarray([0.1, 0.2], dtype=dtype))
+    if algo == "ekf":
+        return ExtendedKalmanFilterKnownCorrespondences(
+            q=q, landmarks=landmarks, motion_model=motion,
+            measurement_model=meas,
+        )
+    if algo == "pf":
+        return ParticleFilterKnownCorrespondences(
+            q=q, landmarks=landmarks, motion_model=motion,
+            measurement_model=meas,
+        )
+    raise ValueError(f"unknown algo {algo!r}")
+
+
+def run_utias_localization(
+    dataset: UtiasDataset,
+    algo: str = "ekf",
+    max_events: int = 10000,
+    num_particles: int = 300,
+    seed: int = 0,
+    dtype=jnp.float64,
+):
+    """Returns (times (T,), estimates GaussianState with leading T axis)."""
+    filt = build_filter(dataset, algo, dtype)
+    events = dataset.events(max_events=max_events, dtype=dtype)
+    gt0 = dataset.groundtruth[0]
+    x0 = jnp.asarray(gt0[1:4], dtype=dtype)
+    # dt of the first event is measured from the groundtruth start
+    # (ll.rs:76-90)
+    dt = events.dt.at[0].set(events.times[0] - gt0[0])
+
+    if algo == "ekf":
+        state0 = GaussianState(
+            x=x0, cov=jnp.diag(jnp.asarray([1e-10, 1e-10, 1e-10], dtype=dtype))
+        )
+
+        def step(state, ev):
+            u, hc, ids, z, mask, dti = ev
+            new = filt.step(state, u, hc, ids, z, mask, dti)
+            return new, new
+
+        _, states = jax.lax.scan(
+            jax.jit(step),
+            state0,
+            (events.control, events.has_control, events.meas_ids,
+             events.meas_z, events.meas_mask, dt),
+        )
+        return np.asarray(events.times), states
+
+    # particle filter: init around groundtruth with r = diag(.2,.2,.2)
+    # (ll.rs:44,66-73)
+    key = jax.random.key(seed)
+    key, k_init = jax.random.split(key)
+    r = jnp.diag(jnp.asarray([0.2, 0.2, 0.2], dtype=dtype))
+    from rustrobotics_tpu.utils.mvn import MultiVariateNormal
+
+    particles0 = MultiVariateNormal.create(x0, r).sample(k_init, (num_particles,))
+
+    def step_pf(carry, ev):
+        particles, k = carry
+        k, k_step = jax.random.split(k)
+        u, hc, ids, z, mask, dti = ev
+        particles = filt.step(k_step, particles, u, hc, ids, z, mask, dti)
+        est = gaussian_estimate(particles)
+        return (particles, k), est
+
+    (_, _), states = jax.lax.scan(
+        jax.jit(step_pf),
+        (particles0, key),
+        (events.control, events.has_control, events.meas_ids,
+         events.meas_z, events.meas_mask, dt),
+    )
+    return np.asarray(events.times), states
+
+
+def ate_vs_groundtruth(dataset: UtiasDataset, times, states) -> float:
+    """RMSE of estimated xy against time-interpolated groundtruth."""
+    gt = dataset.groundtruth
+    gx = np.interp(times, gt[:, 0], gt[:, 1])
+    gy = np.interp(times, gt[:, 0], gt[:, 2])
+    est = np.asarray(states.x[:, :2])
+    return float(np.sqrt(np.mean((est[:, 0] - gx) ** 2 + (est[:, 1] - gy) ** 2)))
