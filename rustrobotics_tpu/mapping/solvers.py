@@ -102,8 +102,26 @@ def solve_cg(layout: SystemLayout, vals, b, tol=1e-10, maxiter=None):
     return x
 
 
+def solve_native(layout: SystemLayout, vals, b):
+    """Native C++ sparse LDL^T direct solve (RCM + elimination-tree
+    up-looking factorization) — the framework's own UMFPACK-role solver.
+    Falls back to scipy SuperLU when the toolchain is unavailable."""
+    from rustrobotics_tpu.ops.native_solver import (
+        native_available,
+        solve_coo_native,
+    )
+
+    if not native_available():
+        return solve_host(layout, vals, b)
+    return solve_coo_native(
+        layout.n, layout.rows, layout.cols,
+        np.asarray(vals, dtype=np.float64), np.asarray(b, dtype=np.float64),
+    )
+
+
 SOLVERS = {
     "dense": solve_dense,
     "host": solve_host,
+    "native": solve_native,
     "cg": solve_cg,
 }
