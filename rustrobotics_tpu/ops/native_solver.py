@@ -65,7 +65,12 @@ def native_available() -> bool:
 
 
 def solve_coo_native(n: int, rows, cols, vals, b) -> np.ndarray:
-    """Solve the SPD system given as COO triplets (duplicates summed)."""
+    """Solve the SPD system given as COO triplets (duplicates summed).
+
+    Input contract: triplets must cover the FULL symmetric pattern (both
+    triangles), as the PGO assembly emits — the solver keeps the upper
+    triangle of the fill-reducing permutation of A.
+    """
     lib = _load()
     if lib is None:
         raise RuntimeError("native LDL solver unavailable (no g++?)")

@@ -27,12 +27,12 @@ def test_native_random_spd():
 
 def test_native_sums_duplicate_triplets():
     """Duplicate COO entries must accumulate (put() semantics,
-    rs:194-212)."""
+    rs:194-212). Input contract: the FULL symmetric pattern (both
+    triangles), as the PGO assembly emits."""
     n = 2
-    rows = np.asarray([0, 0, 1, 0], np.int32)
-    cols = np.asarray([0, 0, 1, 1], np.int32)
-    vals = np.asarray([1.0, 1.0, 3.0, 0.5])
-    # A = [[2, .5], [.5, 3]]  (only upper stored entries + symmetric read)
+    rows = np.asarray([0, 0, 1, 0, 1], np.int32)
+    cols = np.asarray([0, 0, 1, 1, 0], np.int32)
+    vals = np.asarray([1.0, 1.0, 3.0, 0.5, 0.5])
     b = np.asarray([1.0, 2.0])
     x = solve_coo_native(n, rows, cols, vals, b)
     a = np.asarray([[2.0, 0.5], [0.5, 3.0]])
