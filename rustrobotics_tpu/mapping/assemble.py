@@ -43,13 +43,33 @@ def _block_indices(off_row, off_col, nr, nc):
 
 @dataclasses.dataclass(frozen=True)
 class SystemLayout:
-    """Host-side triplet layout; value order must match system_values."""
+    """Host-side triplet layout; value order must match system_values.
+
+    Besides the raw COO triplets, carries two precomputed static
+    structures for the TPU CG path:
+    - ELL: duplicate-summed CSR pattern padded to ``ell_width`` per row so
+      the SpMV is a *gather* + rowwise reduction (TPU scatters are slow);
+    - block maps: dof -> (node block, within-block position) with identity
+      padding, for the block-Jacobi preconditioner.
+    """
 
     rows: np.ndarray  # (nnz,) int32
     cols: np.ndarray  # (nnz,) int32
     n: int  # total dof
     prior_slice: slice  # where the prior diagonal values live
     lam_slice: slice  # where the λ diagonal values live
+    # ELL structure (duplicates summed)
+    ell_order: np.ndarray  # (nnz,) permutation sorting triplets by (r, c)
+    ell_seg: np.ndarray  # (nnz,) segment id of each sorted triplet
+    ell_nnz: int  # number of deduped entries
+    ell_pos: np.ndarray  # (ell_nnz,) flat position row*width+slot
+    ell_nbr: np.ndarray  # (n, width) column index per slot (0-padded)
+    ell_width: int
+    # block-Jacobi maps
+    dof_block: np.ndarray  # (n,)
+    dof_pos: np.ndarray  # (n,)
+    pad_eye: np.ndarray  # (n_blocks, 6, 6)
+    n_blocks: int
 
 
 def build_layout(graph: PoseGraphData) -> SystemLayout:
@@ -97,12 +117,58 @@ def build_layout(graph: PoseGraphData) -> SystemLayout:
     cols.append(diag)
     lam_slice = slice(prior_slice.stop, prior_slice.stop + diag.size)
 
+    rows_all = np.concatenate(rows).astype(np.int32)
+    cols_all = np.concatenate(cols).astype(np.int32)
+    n = graph.total_dof
+
+    # ELL structure: sort by (row, col), group duplicates
+    order = np.lexsort((cols_all, rows_all))
+    rs, cs = rows_all[order], cols_all[order]
+    new_group = np.ones(len(rs), bool)
+    new_group[1:] = (rs[1:] != rs[:-1]) | (cs[1:] != cs[:-1])
+    seg = np.cumsum(new_group) - 1
+    uniq_r, uniq_c = rs[new_group], cs[new_group]
+    # slot within row (uniq entries are row-sorted)
+    row_start = np.searchsorted(uniq_r, np.arange(n), side="left")
+    slot = np.arange(len(uniq_r)) - row_start[uniq_r]
+    width = int(slot.max()) + 1 if len(slot) else 1
+    nbr = np.zeros((n, width), np.int32)
+    nbr[uniq_r, slot] = uniq_c
+    ell_pos = (uniq_r.astype(np.int64) * width + slot).astype(np.int64)
+
+    # block-Jacobi maps
+    dof_block = np.zeros(n, np.int32)
+    dof_pos = np.zeros(n, np.int32)
+    sizes = []
+    bid = 0
+    for offs, size in [(p2, 3), (l2, 2), (p3, 6)]:
+        for o in offs:
+            dof_block[o:o + size] = bid
+            dof_pos[o:o + size] = np.arange(size)
+            sizes.append(size)
+            bid += 1
+    n_blocks = max(bid, 1)
+    pad_eye = np.zeros((n_blocks, 6, 6))
+    for k, s in enumerate(sizes):
+        for i in range(s, 6):
+            pad_eye[k, i, i] = 1.0
+
     return SystemLayout(
-        rows=np.concatenate(rows).astype(np.int32),
-        cols=np.concatenate(cols).astype(np.int32),
-        n=graph.total_dof,
+        rows=rows_all,
+        cols=cols_all,
+        n=n,
         prior_slice=prior_slice,
         lam_slice=lam_slice,
+        ell_order=order,
+        ell_seg=seg.astype(np.int32),
+        ell_nnz=int(len(uniq_r)),
+        ell_pos=ell_pos,
+        ell_nbr=nbr,
+        ell_width=width,
+        dof_block=dof_block,
+        dof_pos=dof_pos,
+        pad_eye=pad_eye,
+        n_blocks=n_blocks,
     )
 
 

@@ -139,6 +139,7 @@ def make_optimize_jit(
     tolerance: float = 1e-4,
     prior_weight: float = PRIOR_WEIGHT,
     cg_tol: float = 1e-10,
+    cg_maxiter: int | None = None,
 ):
     """Build a fully-jitted optimizer for graphs with this template's
     shape: the whole GN/LM loop is one lax.while_loop on device — the
@@ -157,6 +158,17 @@ def make_optimize_jit(
     elif backend == "cg":
         def solve(vals, b):
             return solvers.solve_cg(layout, vals, b, tol=cg_tol)
+    elif backend in ("cg-banded", "cg-banded-jnp"):
+        from rustrobotics_tpu.ops.banded import build_banded
+
+        blayout = build_banded(layout)
+        use_pallas = None if backend == "cg-banded" else False
+
+        def solve(vals, b):
+            return solvers.solve_cg_banded(
+                layout, blayout, vals, b, tol=cg_tol, maxiter=cg_maxiter,
+                use_pallas=use_pallas,
+            )
     else:
         raise ValueError(f"jit path needs a device backend, got {backend!r}")
 

@@ -57,47 +57,86 @@ def solve_host(layout: SystemLayout, vals, b):
     return lu.solve(b)
 
 
-def make_triplet_matvec(layout: SystemLayout):
-    """Matrix-free H @ x from the triplets (jittable closure).
+def ell_values(layout: SystemLayout, vals):
+    """Duplicate-summed triplet values scattered into the padded ELL
+    value table (n, width). One scatter per GN step, amortized over all
+    CG iterations (which are then pure gathers)."""
+    csr_vals = jax.ops.segment_sum(
+        vals[jnp.asarray(layout.ell_order)],
+        jnp.asarray(layout.ell_seg),
+        num_segments=layout.ell_nnz,
+    )
+    flat = jnp.zeros(layout.n * layout.ell_width, dtype=vals.dtype)
+    flat = flat.at[jnp.asarray(layout.ell_pos)].set(csr_vals)
+    return flat.reshape(layout.n, layout.ell_width)
 
-    y[r] += v * x[c] via segment-sum scatter — the SpMV that CG runs on.
+
+def make_ell_matvec(layout: SystemLayout, vals):
+    """Gather-based SpMV: y = sum_d ell_vals[:, d] * x[nbr[:, d]].
+
+    No scatters in the CG inner loop — the TPU-friendly formulation
+    (XLA scatters on TPU serialize; gathers vectorize).
     """
-    rows = jnp.asarray(layout.rows)
-    cols = jnp.asarray(layout.cols)
+    ell_vals = ell_values(layout, vals)
+    nbr = jnp.asarray(layout.ell_nbr)
 
-    def matvec(vals, x):
-        contrib = vals * x[cols]
-        return jnp.zeros_like(x).at[rows].add(contrib)
+    def matvec(x):
+        return jnp.sum(ell_vals * x[nbr], axis=1)
 
     return matvec
 
 
-def block_jacobi_preconditioner(layout: SystemLayout, vals):
-    """Diagonal (Jacobi) preconditioner extracted from the triplets.
-
-    A full 3x3 block-Jacobi variant lives in the distributed path; plain
-    diagonal is enough to anchor CG here and is layout-agnostic.
-    """
+def make_block_jacobi(layout: SystemLayout, vals):
+    """Per-node block-Jacobi preconditioner: the 3x3/2x2/6x6 diagonal
+    blocks of H, identity-padded to 6x6 and batch-inverted."""
+    dof_block = jnp.asarray(layout.dof_block)
+    dof_pos = jnp.asarray(layout.dof_pos)
     rows = jnp.asarray(layout.rows)
     cols = jnp.asarray(layout.cols)
-    on_diag = rows == cols
-    diag = jnp.zeros(layout.n, dtype=vals.dtype).at[rows].add(
-        jnp.where(on_diag, vals, 0.0)
-    )
-    safe = jnp.where(diag > 0, diag, 1.0)
-    return lambda r: r / safe
+    br, bc = dof_block[rows], dof_block[cols]
+    blocks = jnp.zeros((layout.n_blocks, 6, 6), dtype=vals.dtype).at[
+        br, dof_pos[rows], dof_pos[cols]
+    ].add(jnp.where(br == bc, vals, 0.0))
+    blocks = blocks + jnp.asarray(layout.pad_eye, dtype=vals.dtype)
+    with jax.default_matmul_precision("highest"):
+        binv = jnp.linalg.inv(blocks)
+
+    def precond(r):
+        rb = jnp.zeros((layout.n_blocks, 6), dtype=r.dtype).at[
+            dof_block, dof_pos
+        ].set(r)
+        yb = jnp.einsum("kij,kj->ki", binv, rb,
+                        precision=jax.lax.Precision.HIGHEST)
+        return yb[dof_block, dof_pos]
+
+    return precond
 
 
 def solve_cg(layout: SystemLayout, vals, b, tol=1e-10, maxiter=None):
-    """Preconditioned CG on the triplet operator (jittable)."""
-    matvec = make_triplet_matvec(layout)
-    precond = block_jacobi_preconditioner(layout, vals)
+    """Block-Jacobi preconditioned CG on the gather-form ELL operator
+    (jittable) — the scalable device solve."""
+    matvec = make_ell_matvec(layout, vals)
+    precond = make_block_jacobi(layout, vals)
     x, _ = jax.scipy.sparse.linalg.cg(
-        lambda v: matvec(vals, v),
+        matvec,
         b,
         tol=tol,
-        maxiter=maxiter if maxiter is not None else layout.n,
+        maxiter=maxiter if maxiter is not None else 4 * layout.n,
         M=precond,
+    )
+    return x
+
+
+def solve_cg_banded(layout: SystemLayout, blayout, vals, b, tol=1e-6,
+                    maxiter=400, use_pallas=None):
+    """Block-Jacobi PCG on the block-banded operator (Pallas SpMV on TPU,
+    jnp reference elsewhere) — the fast device iterative solve."""
+    from rustrobotics_tpu.ops.banded import make_banded_matvec
+
+    matvec = make_banded_matvec(blayout, layout, vals, use_pallas=use_pallas)
+    precond = make_block_jacobi(layout, vals)
+    x, _ = jax.scipy.sparse.linalg.cg(
+        matvec, b, tol=tol, maxiter=maxiter, M=precond
     )
     return x
 
