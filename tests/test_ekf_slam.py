@@ -1,0 +1,114 @@
+"""EKF-SLAM (known correspondences) tests.
+
+Capability beyond the reference: src/mapping/ekf_slam_known.rs is an empty
+file. Oracle: a simulated unicycle loop with noisy range-bearing sightings
+of unknown-position landmarks — SLAM must recover both trajectory and map.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rustrobotics_tpu.mapping.ekf_slam import EkfSlamKnownCorrespondences
+from rustrobotics_tpu.models import VelocityMotionModel
+
+
+def _simulate(seed=0, num_steps=400, num_landmarks=6, dt=0.1):
+    rng = np.random.default_rng(seed)
+    lms = np.stack(
+        [6.0 * np.cos(np.linspace(0, 2 * np.pi, num_landmarks, endpoint=False)),
+         6.0 * np.sin(np.linspace(0, 2 * np.pi, num_landmarks, endpoint=False))],
+        axis=-1,
+    )
+    x = np.array([3.0, 0.0, np.pi / 2])
+    u = np.array([1.0, 1.0 / 3.0])  # circle of radius 3
+    poses, zs, ids, masks = [], [], [], []
+    m_max = num_landmarks
+    for _ in range(num_steps):
+        # exact unicycle step
+        th = x[2]
+        x = x + np.array([
+            u[0] / u[1] * (-np.sin(th) + np.sin(th + u[1] * dt)),
+            u[0] / u[1] * (np.cos(th) - np.cos(th + u[1] * dt)),
+            u[1] * dt,
+        ])
+        x[2] = (x[2] + np.pi) % (2 * np.pi) - np.pi
+        poses.append(x.copy())
+        z_step = np.zeros((m_max, 2))
+        mask = np.zeros(m_max, bool)
+        for k in range(num_landmarks):
+            d = lms[k] - x[:2]
+            r = np.hypot(*d)
+            if r < 5.0:  # sensor range
+                z_step[k] = [r + rng.normal(0, 0.03),
+                             np.arctan2(d[1], d[0]) - x[2] + rng.normal(0, 0.01)]
+                mask[k] = True
+        zs.append(z_step)
+        ids.append(np.arange(m_max))
+        masks.append(mask)
+    return (np.asarray(poses), lms, np.asarray(zs), np.asarray(ids),
+            np.asarray(masks), u, dt)
+
+
+def test_ekf_slam_recovers_map_and_trajectory():
+    poses, lms, zs, ids, masks, u, dt = _simulate()
+    num_landmarks = lms.shape[0]
+    slam = EkfSlamKnownCorrespondences.create(
+        q=jnp.diag(jnp.asarray([0.03**2, 0.01**2])),
+        motion_model=VelocityMotionModel.create([0.005] * 4 + [0.001] * 2),
+        max_landmarks=num_landmarks,
+    )
+    state = slam.init_state(jnp.asarray([3.0, 0.0, np.pi / 2]))
+
+    @jax.jit
+    def run(state):
+        def body(st, ev):
+            z, lm_idx, mask = ev
+            st = slam.step(st, jnp.asarray(u), jnp.asarray(True),
+                           lm_idx, z, mask, dt)
+            return st, st.x[:3]
+
+        return jax.lax.scan(
+            body, state,
+            (jnp.asarray(zs), jnp.asarray(ids), jnp.asarray(masks)),
+        )
+
+    state, traj = run(state)
+    traj = np.asarray(traj)
+    # trajectory ATE
+    ate = np.sqrt(np.mean(np.sum((traj[:, :2] - poses[:, :2]) ** 2, -1)))
+    assert ate < 0.15, ate
+    # map error for seen landmarks
+    seen = np.asarray(state.seen)
+    assert seen.sum() == num_landmarks  # circle passes near all
+    est_lms = np.asarray(state.landmarks)
+    lm_err = np.linalg.norm(est_lms[seen] - lms[seen], axis=-1)
+    assert lm_err.max() < 0.2, lm_err
+    # joint covariance stays symmetric PSD
+    cov = np.asarray(state.cov)
+    np.testing.assert_allclose(cov, cov.T, atol=1e-6)
+    assert np.linalg.eigvalsh(cov).min() > -1e-6
+
+
+def test_ekf_slam_unseen_landmarks_stay_uncertain():
+    poses, lms, zs, ids, masks, u, dt = _simulate(num_steps=30)
+    slam = EkfSlamKnownCorrespondences.create(
+        q=jnp.diag(jnp.asarray([0.03**2, 0.01**2])),
+        motion_model=VelocityMotionModel.create([0.005] * 6),
+        max_landmarks=lms.shape[0] + 2,  # two slots never observed
+    )
+    state = slam.init_state(jnp.asarray([3.0, 0.0, np.pi / 2]))
+    ids_pad = np.concatenate([ids, np.zeros((len(ids), 2), int)], axis=1)
+    zs_pad = np.concatenate([zs, np.zeros((len(zs), 2, 2))], axis=1)
+    masks_pad = np.concatenate(
+        [masks, np.zeros((len(masks), 2), bool)], axis=1
+    )
+    for t in range(len(zs)):
+        state = slam.step(state, jnp.asarray(u), jnp.asarray(True),
+                          jnp.asarray(ids_pad[t]), jnp.asarray(zs_pad[t]),
+                          jnp.asarray(masks_pad[t]), dt)
+    seen = np.asarray(state.seen)
+    assert not seen[-2:].any()
+    cov = np.asarray(state.cov)
+    # unseen slots keep their huge prior variance
+    assert cov[-1, -1] > 1e5 and cov[-4, -4] > 1e5
