@@ -172,7 +172,7 @@ def main(argv=None):
     sp = sub.add_parser("landmarks", help="UTIAS landmark localization")
     common(sp)
     sp.add_argument("--dataset", default=None, help="utias directory")
-    sp.add_argument("--algo", choices=["ekf", "pf"], default="ekf")
+    sp.add_argument("--algo", choices=["ekf", "ukf", "pf"], default="ekf")
     sp.add_argument("--events", type=int, default=10000)
     sp.add_argument("--particles", type=int, default=300)
     sp.add_argument("--plot", default=None)

@@ -11,7 +11,10 @@ from rustrobotics_tpu.localization.ekf import (  # noqa: F401
     ExtendedKalmanFilter,
     ExtendedKalmanFilterKnownCorrespondences,
 )
-from rustrobotics_tpu.localization.ukf import UnscentedKalmanFilter  # noqa: F401
+from rustrobotics_tpu.localization.ukf import (  # noqa: F401
+    UnscentedKalmanFilter,
+    UnscentedKalmanFilterKnownCorrespondences,
+)
 from rustrobotics_tpu.localization.pf import (  # noqa: F401
     ParticleFilter,
     ParticleFilterKnownCorrespondences,

@@ -50,6 +50,16 @@ def build_filter(dataset: UtiasDataset, algo: str = "ekf", dtype=jnp.float64):
             q=q, landmarks=landmarks, motion_model=motion,
             measurement_model=meas,
         )
+    if algo == "ukf":
+        from rustrobotics_tpu.localization.ukf import (
+            UnscentedKalmanFilterKnownCorrespondences,
+        )
+
+        return UnscentedKalmanFilterKnownCorrespondences.create(
+            q=q, landmarks=landmarks, measurement_model=meas,
+            motion_model=motion, alpha=1.0, beta=2.0, kappa=0.0,
+            dtype=dtype,
+        )
     if algo == "pf":
         return ParticleFilterKnownCorrespondences(
             q=q, landmarks=landmarks, motion_model=motion,
@@ -75,9 +85,11 @@ def run_utias_localization(
     # (ll.rs:76-90)
     dt = events.dt.at[0].set(events.times[0] - gt0[0])
 
-    if algo == "ekf":
+    if algo in ("ekf", "ukf"):
+        init_var = 1e-10 if algo == "ekf" else 1e-6  # UKF needs a
+        # nondegenerate Cholesky for its sigma points
         state0 = GaussianState(
-            x=x0, cov=jnp.diag(jnp.asarray([1e-10, 1e-10, 1e-10], dtype=dtype))
+            x=x0, cov=jnp.eye(3, dtype=dtype) * init_var
         )
 
         def step(state, ev):

@@ -16,6 +16,7 @@ from __future__ import annotations
 from typing import Any
 
 import flax.struct
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -90,3 +91,86 @@ class UnscentedKalmanFilter:
         x = mean_pred + gain @ (z - mean_z)
         cov = cov_pred - gain @ cov_z @ gain.T
         return GaussianState(x=x, cov=cov)
+
+
+@flax.struct.dataclass
+class UnscentedKalmanFilterKnownCorrespondences:
+    """UKF against a known landmark map — the variant the reference leaves
+    as ``todo!()`` (examples/localization/localization_landmarks.rs:62).
+
+    Predict: sigma points through the motion model, plus control-space
+    noise mapped through the input Jacobian (V M V^T, the EKF-KC form,
+    extended_kalman_filter.rs:134-141). Update: per-measurement sigma
+    points through the landmark measurement model, applied sequentially
+    over a padded masked block via ``lax.scan``.
+    """
+
+    q: jnp.ndarray  # (Z, Z) measurement noise
+    gamma: jnp.ndarray
+    mw: jnp.ndarray
+    cw: jnp.ndarray
+    landmarks: Any
+    motion_model: Any
+    measurement_model: Any
+
+    @classmethod
+    def create(cls, q, landmarks, measurement_model, motion_model,
+               alpha=1.0, beta=2.0, kappa=0.0, state_dim=3, dtype=None):
+        q = jnp.asarray(q)
+        dtype = dtype or q.dtype
+        mw, cw, gamma = sigma_weights(state_dim, alpha, beta, kappa)
+        return cls(
+            q=q, gamma=jnp.asarray(gamma, dtype), mw=mw.astype(dtype),
+            cw=cw.astype(dtype), landmarks=landmarks,
+            motion_model=motion_model, measurement_model=measurement_model,
+        )
+
+    def _sigma_points(self, state: GaussianState):
+        lower = jnp.linalg.cholesky(state.cov) * self.gamma
+        cols = lower.T
+        return jnp.concatenate(
+            [state.x[None, :], state.x[None, :] + cols,
+             state.x[None, :] - cols], axis=0,
+        )
+
+    def predict(self, state: GaussianState, u, dt) -> GaussianState:
+        sp = self._sigma_points(state)
+        sp_pred = self.motion_model.prediction(sp, u, dt)
+        mean = jnp.einsum("k,ki->i", self.mw, sp_pred)
+        dx = sp_pred - mean
+        v = self.motion_model.jacobian_wrt_input(mean, u, dt)
+        m = self.motion_model.cov_noise_control_space(u)
+        cov = jnp.einsum("k,ki,kj->ij", self.cw, dx, dx) + v @ m @ v.T
+        return GaussianState(x=mean, cov=cov)
+
+    def update(self, state: GaussianState, ids, z, mask) -> GaussianState:
+        lms, valid = self.landmarks.lookup(ids)
+        valid = jnp.logical_and(valid, mask)
+
+        def body(st, inp):
+            lm, zi, ok = inp
+            sp = self._sigma_points(st)
+            sp_z = jax.vmap(
+                lambda x: self.measurement_model.prediction(x, lm)
+            )(sp)
+            mean_z = jnp.einsum("k,ki->i", self.mw, sp_z)
+            dz = sp_z - mean_z
+            cov_z = jnp.einsum("k,ki,kj->ij", self.cw, dz, dz) + self.q
+            dx = sp - st.x
+            cross = jnp.einsum("k,ki,kj->ij", self.cw, dx, dz)
+            gain = cross @ jnp.linalg.inv(cov_z)
+            x_new = st.x + gain @ (zi - mean_z)
+            cov_new = st.cov - gain @ cov_z @ gain.T
+            x = jnp.where(ok, x_new, st.x)
+            cov = jnp.where(ok, cov_new, st.cov)
+            return GaussianState(x=x, cov=cov), None
+
+        state, _ = jax.lax.scan(body, state, (lms, z, valid))
+        return state
+
+    def step(self, state, u, has_control, ids, z, mask, dt) -> GaussianState:
+        pred = self.predict(state, u, dt)
+        state = jax.tree.map(
+            lambda a, b: jnp.where(has_control, a, b), pred, state
+        )
+        return self.update(state, ids, z, mask)

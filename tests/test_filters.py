@@ -247,3 +247,28 @@ def test_pf_step_shapes_and_jit():
     out = step(jax.random.key(0), particles, jnp.array([1.0, 0.1]),
                jnp.array([0.1, 0.0]), 0.1)
     assert out.shape == (64, 4)
+
+
+def test_ukf_kc_localizes():
+    """UKF known-correspondences (the reference leaves this todo!(),
+    localization_landmarks.rs:62)."""
+    from rustrobotics_tpu.localization import (
+        UnscentedKalmanFilterKnownCorrespondences,
+    )
+
+    landmarks, motion, meas, q = _kc_setup()
+    ukf = UnscentedKalmanFilterKnownCorrespondences.create(
+        q=q, landmarks=landmarks, measurement_model=meas, motion_model=motion,
+        alpha=1.0, beta=2.0, kappa=0.0,
+    )
+    x_true = jnp.asarray([0.3, -0.2, 0.4])
+    state = GaussianState(x=jnp.zeros(3), cov=jnp.eye(3) * 0.5)
+    ids = jnp.asarray([7, 3, 12, 99])
+    lms, _ = landmarks.lookup(ids)
+    z = jax.vmap(lambda lm: meas.prediction(x_true, lm))(lms)
+    mask = jnp.ones(4, dtype=bool)
+    for _ in range(10):
+        state = ukf.step(state, jnp.zeros(2), jnp.asarray(False), ids, z,
+                         mask, 0.1)
+    np.testing.assert_allclose(np.asarray(state.x), np.asarray(x_true),
+                               atol=1e-2)
