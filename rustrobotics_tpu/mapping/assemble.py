@@ -70,6 +70,11 @@ class SystemLayout:
     dof_pos: np.ndarray  # (n,)
     pad_eye: np.ndarray  # (n_blocks, 6, 6)
     n_blocks: int
+    # Schur split: pose dofs vs 2D-landmark dofs
+    dof_is_lm: np.ndarray  # (n,) bool
+    pose_dofs: np.ndarray  # (n_pose_dof,) reference-layout indices
+    lm_dofs: np.ndarray  # (n_lm_dof,) reference-layout indices
+    dof_compact: np.ndarray  # (n,) index within its own group
 
 
 def build_layout(graph: PoseGraphData) -> SystemLayout:
@@ -153,6 +158,16 @@ def build_layout(graph: PoseGraphData) -> SystemLayout:
         for i in range(s, 6):
             pad_eye[k, i, i] = 1.0
 
+    # Schur split maps
+    dof_is_lm = np.zeros(n, bool)
+    for o in l2:
+        dof_is_lm[o:o + 2] = True
+    pose_dofs = np.where(~dof_is_lm)[0].astype(np.int32)
+    lm_dofs = np.where(dof_is_lm)[0].astype(np.int32)
+    dof_compact = np.zeros(n, np.int32)
+    dof_compact[pose_dofs] = np.arange(len(pose_dofs))
+    dof_compact[lm_dofs] = np.arange(len(lm_dofs))
+
     return SystemLayout(
         rows=rows_all,
         cols=cols_all,
@@ -169,6 +184,10 @@ def build_layout(graph: PoseGraphData) -> SystemLayout:
         dof_pos=dof_pos,
         pad_eye=pad_eye,
         n_blocks=n_blocks,
+        dof_is_lm=dof_is_lm,
+        pose_dofs=pose_dofs,
+        lm_dofs=lm_dofs,
+        dof_compact=dof_compact,
     )
 
 

@@ -87,7 +87,7 @@ def optimize(
     dtype = graph.poses2.dtype if graph.poses2.size else graph.poses3.dtype
     values_fn = jax.jit(partial(system_values, prior_weight=prior_weight))
     solve_fn = solvers.SOLVERS[backend]
-    if backend in ("dense", "cg"):
+    if backend in ("dense", "cg", "schur"):
         solve_fn = jax.jit(lambda vals, b: solvers.SOLVERS[backend](layout, vals, b))
     else:
         host_solver = solve_fn
@@ -155,6 +155,9 @@ def make_optimize_jit(
     if backend == "dense":
         def solve(vals, b):
             return solvers.solve_dense(layout, vals, b)
+    elif backend == "schur":
+        def solve(vals, b):
+            return solvers.solve_schur(layout, vals, b)
     elif backend == "cg":
         def solve(vals, b):
             return solvers.solve_cg(layout, vals, b, tol=cg_tol)

@@ -127,6 +127,73 @@ def solve_cg(layout: SystemLayout, vals, b, tol=1e-10, maxiter=None):
     return x
 
 
+def solve_schur(layout: SystemLayout, vals, b):
+    """Schur-complement elimination of 2D landmark blocks (jittable).
+
+    The classic SLAM reduction (SURVEY §2.2/§5): with H = [[Hpp, Hpl],
+    [Hlp, Hll]] and Hll block-diagonal (2x2 per landmark — landmarks never
+    connect to each other), solve the reduced pose system
+    ``S dxp = bp - Hpl Hll^-1 bl`` with ``S = Hpp - Hpl Hll^-1 Hlp``
+    (dense Cholesky, Jacobi-scaled), then back-substitute
+    ``dxl = Hll^-1 (bl - Hlp dxp)``. Falls back to the plain dense solve on
+    landmark-free graphs.
+    """
+    if len(layout.lm_dofs) == 0:
+        return solve_dense(layout, vals, b)
+    dtype = vals.dtype
+    np_dof = len(layout.pose_dofs)
+    nl_dof = len(layout.lm_dofs)
+    n_lm = nl_dof // 2
+
+    rows = jnp.asarray(layout.rows)
+    cols = jnp.asarray(layout.cols)
+    is_lm = jnp.asarray(layout.dof_is_lm)
+    compact = jnp.asarray(layout.dof_compact)
+    lm_r, lm_c = is_lm[rows], is_lm[cols]
+    cr, cc = compact[rows], compact[cols]
+
+    def masked_scatter(shape, idx_r, idx_c, mask):
+        safe_r = jnp.where(mask, idx_r, 0)
+        safe_c = jnp.where(mask, idx_c, 0)
+        return jnp.zeros(shape, dtype=dtype).at[safe_r, safe_c].add(
+            jnp.where(mask, vals, 0.0)
+        )
+
+    h_pp = masked_scatter((np_dof, np_dof), cr, cc, ~lm_r & ~lm_c)
+    h_pl = masked_scatter((np_dof, nl_dof), cr, cc, ~lm_r & lm_c)
+    # Hll as (L, 2, 2) blocks
+    blk = jnp.where(lm_r & lm_c, cr // 2, 0)
+    h_ll = jnp.zeros((n_lm, 2, 2), dtype=dtype).at[
+        blk, cr % 2, cc % 2
+    ].add(jnp.where(lm_r & lm_c, vals, 0.0))
+
+    bp = b[jnp.asarray(layout.pose_dofs)]
+    bl = b[jnp.asarray(layout.lm_dofs)]
+
+    with jax.default_matmul_precision("highest"):
+        h_ll_inv = jnp.linalg.inv(h_ll)
+        # W = Hll^-1 Hlp  -> (L, 2, np_dof)
+        hlp_blocks = h_pl.T.reshape(n_lm, 2, np_dof)
+        w = jnp.einsum("lij,ljp->lip", h_ll_inv, hlp_blocks)
+        s = h_pp - h_pl @ w.reshape(nl_dof, np_dof)
+        bl_blocks = bl.reshape(n_lm, 2)
+        hll_inv_bl = jnp.einsum("lij,lj->li", h_ll_inv, bl_blocks).reshape(-1)
+        rhs = bp - h_pl @ hll_inv_bl
+        # Jacobi-scaled Cholesky on the reduced system
+        d = jnp.sqrt(jnp.clip(jnp.diagonal(s), 1e-12, None))
+        ss = s / (d[:, None] * d[None, :])
+        cf = jax.scipy.linalg.cho_factor(ss)
+        dxp = jax.scipy.linalg.cho_solve(cf, rhs / d) / d
+        resid = (bl_blocks
+                 - (h_pl.T @ dxp).reshape(n_lm, 2))
+        dxl = jnp.einsum("lij,lj->li", h_ll_inv, resid).reshape(-1)
+
+    dx = jnp.zeros(layout.n, dtype=dtype)
+    dx = dx.at[jnp.asarray(layout.pose_dofs)].set(dxp)
+    dx = dx.at[jnp.asarray(layout.lm_dofs)].set(dxl)
+    return dx
+
+
 def solve_cg_banded(layout: SystemLayout, blayout, vals, b, tol=1e-6,
                     maxiter=400, use_pallas=None):
     """Block-Jacobi PCG on the block-banded operator (Pallas SpMV on TPU,
@@ -163,4 +230,5 @@ SOLVERS = {
     "host": solve_host,
     "native": solve_native,
     "cg": solve_cg,
+    "schur": solve_schur,
 }

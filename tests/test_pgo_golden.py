@@ -135,8 +135,10 @@ def test_solver_backends_agree(dataset_dir):
     dx_host = np.asarray(linearize_and_solve(g, backend="host"))
     dx_dense = np.asarray(linearize_and_solve(g, backend="dense"))
     dx_cg = np.asarray(linearize_and_solve(g, backend="cg"))
+    dx_schur = np.asarray(linearize_and_solve(g, backend="schur"))
     np.testing.assert_allclose(dx_dense, dx_host, atol=1e-6)
     np.testing.assert_allclose(dx_cg, dx_host, atol=1e-4)
+    np.testing.assert_allclose(dx_schur, dx_host, atol=1e-8)
 
 
 def test_levenberg_marquardt_converges(dataset_dir):
@@ -165,3 +167,11 @@ def test_optimize_improves_and_converges(dataset_dir):
     res = optimize(g, num_iterations=100, backend="host")
     assert res.errors[-1] < res.errors[0] * 1e-4
     assert res.norms[-1] < 1e-4  # hit the convergence criterion (rs:298)
+
+
+def test_schur_backend_reaches_golden_chi2(dataset_dir):
+    """Schur-complement landmark elimination (solvers.solve_schur) drives
+    GN to the reference's converged chi2 on the landmark graph."""
+    g = load_g2o(dataset_dir / "g2o" / "simulation-pose-landmark.g2o")
+    res = optimize(g, num_iterations=100, backend="schur")
+    assert abs(res.errors[-1] - 474.0) <= 1.0, res.errors[-1]
