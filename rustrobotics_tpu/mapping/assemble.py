@@ -33,11 +33,22 @@ PRIOR_WEIGHT = 1e7  # gauge prior (rs:331)
 
 
 def _block_indices(off_row, off_col, nr, nc):
-    """Triplet indices for (E, nr, nc) blocks at row/col dof offsets."""
-    r = off_row[:, None, None] + np.arange(nr)[None, :, None]
-    c = off_col[:, None, None] + np.arange(nc)[None, None, :]
-    r = np.broadcast_to(r, (off_row.shape[0], nr, nc))
-    c = np.broadcast_to(c, (off_col.shape[0], nr, nc))
+    """Triplet indices for per-edge (nr, nc) blocks, in ENTRY-MAJOR order
+    (nr, nc, E): all edges' (0,0) entries first, then (0,1), ... The
+    matching value array is ``jnp.transpose(blocks, (1, 2, 0)).ravel()``.
+
+    Entry-major matters on TPU: the batched (E, nr, nc) einsum outputs get
+    an E-minor layout from XLA, so flattening edge-major forces a relayout
+    of a heavily padded (nr, nc -> tile 8x128) buffer — profiled at ~2 ms
+    per GN iteration on intel.g2o. Entry-major flattening is a bitcast.
+    """
+    e = off_row.shape[0]
+    r = np.broadcast_to(
+        off_row[None, None, :] + np.arange(nr)[:, None, None], (nr, nc, e)
+    )
+    c = np.broadcast_to(
+        off_col[None, None, :] + np.arange(nc)[None, :, None], (nr, nc, e)
+    )
     return r.ravel(), c.ravel()
 
 
@@ -209,6 +220,11 @@ def _quad_blocks(e, a, b, omega):
     return h_ii, h_ij, h_ji, h_jj, b_i, b_j
 
 
+def _em(blocks):
+    """Entry-major flatten of (E, nr, nc) blocks — see _block_indices."""
+    return jnp.transpose(blocks, (1, 2, 0)).ravel()
+
+
 def system_values(graph: PoseGraphData, lam, prior_weight=PRIOR_WEIGHT):
     """Jittable: flat triplet values (aligned with build_layout) + RHS b
     (already negated, rs:361) + total chi2 error."""
@@ -218,36 +234,46 @@ def system_values(graph: PoseGraphData, lam, prior_weight=PRIOR_WEIGHT):
     vals = []
     chi2 = jnp.zeros((), dtype=dtype)
 
-    e, a, b, c2 = linearize.edge_terms_pp(
-        graph.poses2, graph.pp_from, graph.pp_to, graph.pp_z, graph.pp_omega
-    )
-    h_ii, h_ij, h_ji, h_jj, b_i, b_j = _quad_blocks(e, a, b, graph.pp_omega)
-    vals += [h_ii.ravel(), h_ij.ravel(), h_ji.ravel(), h_jj.ravel()]
+    def flat(hxx):
+        # entry-major flatten of a component matrix (matches _block_indices)
+        return [hxx[k][l] for k in range(len(hxx)) for l in range(len(hxx[0]))]
+
+    def transpose_c(hxx):
+        return [[hxx[k][l] for k in range(len(hxx))] for l in range(len(hxx[0]))]
+
+    # SE2-SE2 edges — component (SoA) linearization: no (E,3,3) buffers
+    with jax.default_matmul_precision("highest"):
+        _, hii, hij, hjj, b_i, b_j, c2 = linearize.edge_terms_pp_soa(
+            graph.poses2, graph.pp_from, graph.pp_to, graph.pp_z,
+            graph.pp_omega,
+        )
+    vals += flat(hii) + flat(hij) + flat(transpose_c(hij)) + flat(hjj)
     off_i = graph.pose2_offsets[graph.pp_from]
     off_j = graph.pose2_offsets[graph.pp_to]
-    idx_i = (off_i[:, None] + jnp.arange(3)[None, :]).ravel()
-    idx_j = (off_j[:, None] + jnp.arange(3)[None, :]).ravel()
-    bvec = bvec.at[idx_i].add(b_i.ravel()).at[idx_j].add(b_j.ravel())
+    for k in range(3):
+        bvec = bvec.at[off_i + k].add(b_i[k]).at[off_j + k].add(b_j[k])
     chi2 = chi2 + jnp.sum(c2)
 
-    e, a, b, c2 = linearize.edge_terms_pl(
-        graph.poses2, graph.landmarks2,
-        graph.pl_pose, graph.pl_lm, graph.pl_z, graph.pl_omega,
-    )
-    h_ii, h_ij, h_ji, h_jj, b_i, b_j = _quad_blocks(e, a, b, graph.pl_omega)
-    vals += [h_ii.ravel(), h_ij.ravel(), h_ji.ravel(), h_jj.ravel()]
+    # SE2-XY edges
+    with jax.default_matmul_precision("highest"):
+        _, hii, hij, hjj, b_i, b_j, c2 = linearize.edge_terms_pl_soa(
+            graph.poses2, graph.landmarks2,
+            graph.pl_pose, graph.pl_lm, graph.pl_z, graph.pl_omega,
+        )
+    vals += flat(hii) + flat(hij) + flat(transpose_c(hij)) + flat(hjj)
     off_i = graph.pose2_offsets[graph.pl_pose]
     off_j = graph.lm2_offsets[graph.pl_lm]
-    idx_i = (off_i[:, None] + jnp.arange(3)[None, :]).ravel()
-    idx_j = (off_j[:, None] + jnp.arange(2)[None, :]).ravel()
-    bvec = bvec.at[idx_i].add(b_i.ravel()).at[idx_j].add(b_j.ravel())
+    for k in range(3):
+        bvec = bvec.at[off_i + k].add(b_i[k])
+    for k in range(2):
+        bvec = bvec.at[off_j + k].add(b_j[k])
     chi2 = chi2 + jnp.sum(c2)
 
     e, a, b, c2 = linearize.edge_terms_qq(
         graph.poses3, graph.qq_from, graph.qq_to, graph.qq_z, graph.qq_omega
     )
     h_ii, h_ij, h_ji, h_jj, b_i, b_j = _quad_blocks(e, a, b, graph.qq_omega)
-    vals += [h_ii.ravel(), h_ij.ravel(), h_ji.ravel(), h_jj.ravel()]
+    vals += [_em(h_ii), _em(h_ij), _em(h_ji), _em(h_jj)]
     off_i = graph.pose3_offsets[graph.qq_from]
     off_j = graph.pose3_offsets[graph.qq_to]
     idx_i = (off_i[:, None] + jnp.arange(6)[None, :]).ravel()

@@ -177,22 +177,12 @@ def make_optimize_jit(
 
     from rustrobotics_tpu.mapping.assemble import apply_update
 
-    def step(state):
-        graph, lam, last_error, it, norm_dx, errors = state
-        lam_eff = lam if lm else jnp.asarray(0.0, dtype)
-        vals, b, _ = system_values(graph, lam_eff, prior_weight)
-        dx = solve(vals, b)
-        new_graph = apply_update(graph, dx)
-        norm_dx = jnp.linalg.norm(dx)
-        error = global_error(new_graph)
-        if lm:
-            reject = last_error < error
-            new_graph = jax.tree.map(
-                lambda a, b_: jnp.where(reject, a, b_), graph, new_graph
-            )
-            lam = jnp.where(reject, lam * 2.0, lam / 2.0)
-        errors = errors.at[it + 1].set(error)
-        return new_graph, lam, error, it + 1, norm_dx, errors
+    # The while_loop state carries ONLY the mutable node arrays. Edge
+    # constants (measurements, information matrices, index arrays) are
+    # closed over: carrying them in the loop state makes XLA stage a copy
+    # of every buffer each iteration (profiled at ~2x the actual compute
+    # on intel.g2o — async copy-start/dynamic-update-slice per field).
+    _NODE_FIELDS = ("poses2", "landmarks2", "poses3")
 
     def cond(state):
         _, _, _, it, norm_dx, _ = state
@@ -201,18 +191,63 @@ def make_optimize_jit(
 
     @jax.jit
     def run(graph):
+        def with_nodes(nodes):
+            return graph.replace(**dict(zip(_NODE_FIELDS, nodes)))
+
+        def get_nodes(g):
+            return tuple(getattr(g, f) for f in _NODE_FIELDS)
+
+        def step_lm(state):
+            nodes, lam, last_error, it, norm_dx, errors = state
+            g = with_nodes(nodes)
+            vals, b, _ = system_values(g, lam, prior_weight)
+            dx = solve(vals, b)
+            new_g = apply_update(g, dx)
+            norm_dx = jnp.linalg.norm(dx)
+            error = global_error(new_g)
+            reject = last_error < error
+            new_nodes = jax.tree.map(
+                lambda a, b_: jnp.where(reject, a, b_),
+                nodes, get_nodes(new_g),
+            )
+            lam = jnp.where(reject, lam * 2.0, lam / 2.0)
+            errors = errors.at[it + 1].set(error)
+            return new_nodes, lam, error, it + 1, norm_dx, errors
+
+        def step_gn(state):
+            # GN fast path: system_values' chi2 IS the error of the
+            # current graph (== error after the previous update), so no
+            # separate global_error pass per iteration — the final
+            # graph's error is filled in once after the loop.
+            nodes, lam, last_error, it, norm_dx, errors = state
+            g = with_nodes(nodes)
+            vals, b, chi2 = system_values(
+                g, jnp.asarray(0.0, dtype), prior_weight
+            )
+            errors = errors.at[it].set(chi2)
+            dx = solve(vals, b)
+            new_g = apply_update(g, dx)
+            norm_dx = jnp.linalg.norm(dx)
+            return get_nodes(new_g), lam, chi2, it + 1, norm_dx, errors
+
         errors = jnp.full(num_iterations + 1, jnp.nan, dtype=dtype)
-        errors = errors.at[0].set(global_error(graph))
+        if lm:
+            errors = errors.at[0].set(global_error(graph))
         state = (
-            graph,
+            get_nodes(graph),
             jnp.asarray(0.01, dtype),
-            errors[0],
+            errors[0] if lm else jnp.asarray(jnp.inf, dtype),
             jnp.asarray(0, jnp.int32),
             jnp.asarray(jnp.inf, dtype),
             errors,
         )
-        graph, _, last_error, it, _, errors = jax.lax.while_loop(cond, step, state)
-        return graph, errors, it
+        nodes, _, last_error, it, _, errors = jax.lax.while_loop(
+            cond, step_lm if lm else step_gn, state
+        )
+        out_graph = with_nodes(nodes)
+        if not lm:
+            errors = errors.at[it].set(global_error(out_graph))
+        return out_graph, errors, it
 
     return run
 
