@@ -145,27 +145,32 @@ def solve_schur(layout: SystemLayout, vals, b):
     nl_dof = len(layout.lm_dofs)
     n_lm = nl_dof // 2
 
-    rows = jnp.asarray(layout.rows)
-    cols = jnp.asarray(layout.cols)
-    is_lm = jnp.asarray(layout.dof_is_lm)
-    compact = jnp.asarray(layout.dof_compact)
-    lm_r, lm_c = is_lm[rows], is_lm[cols]
-    cr, cc = compact[rows], compact[cols]
+    # Host-side (trace-time) partition of the triplets by Schur quadrant:
+    # each scatter below touches only its own values. (A masked scatter
+    # over ALL triplets per quadrant costs ~3x the triplet count in
+    # sort-based scatter work — profiled at ~13 ms/iteration on dlr.g2o.)
+    rows_np, cols_np = layout.rows, layout.cols
+    lm_r = layout.dof_is_lm[rows_np]
+    lm_c = layout.dof_is_lm[cols_np]
+    compact_np = layout.dof_compact
+    sel_pp = np.where(~lm_r & ~lm_c)[0]
+    sel_pl = np.where(~lm_r & lm_c)[0]
+    sel_ll = np.where(lm_r & lm_c)[0]
 
-    def masked_scatter(shape, idx_r, idx_c, mask):
-        safe_r = jnp.where(mask, idx_r, 0)
-        safe_c = jnp.where(mask, idx_c, 0)
-        return jnp.zeros(shape, dtype=dtype).at[safe_r, safe_c].add(
-            jnp.where(mask, vals, 0.0)
-        )
-
-    h_pp = masked_scatter((np_dof, np_dof), cr, cc, ~lm_r & ~lm_c)
-    h_pl = masked_scatter((np_dof, nl_dof), cr, cc, ~lm_r & lm_c)
+    h_pp = jnp.zeros((np_dof, np_dof), dtype=dtype).at[
+        jnp.asarray(compact_np[rows_np[sel_pp]]),
+        jnp.asarray(compact_np[cols_np[sel_pp]]),
+    ].add(vals[jnp.asarray(sel_pp)])
+    h_pl = jnp.zeros((np_dof, nl_dof), dtype=dtype).at[
+        jnp.asarray(compact_np[rows_np[sel_pl]]),
+        jnp.asarray(compact_np[cols_np[sel_pl]]),
+    ].add(vals[jnp.asarray(sel_pl)])
     # Hll as (L, 2, 2) blocks
-    blk = jnp.where(lm_r & lm_c, cr // 2, 0)
+    ll_r = compact_np[rows_np[sel_ll]]
+    ll_c = compact_np[cols_np[sel_ll]]
     h_ll = jnp.zeros((n_lm, 2, 2), dtype=dtype).at[
-        blk, cr % 2, cc % 2
-    ].add(jnp.where(lm_r & lm_c, vals, 0.0))
+        jnp.asarray(ll_r // 2), jnp.asarray(ll_r % 2), jnp.asarray(ll_c % 2)
+    ].add(vals[jnp.asarray(sel_ll)])
 
     bp = b[jnp.asarray(layout.pose_dofs)]
     bl = b[jnp.asarray(layout.lm_dofs)]
