@@ -56,6 +56,10 @@ def cmd_localization(args):
         from rustrobotics_tpu.utils.plot import plot_filter_history
 
         print("saved", plot_filter_history(hist, args.plot, title=args.algo))
+    if args.gif:
+        from rustrobotics_tpu.utils.plot import save_filter_gif
+
+        print("saved", save_filter_gif(hist, args.gif, title=args.algo))
 
 
 def cmd_landmarks(args):
@@ -167,6 +171,8 @@ def main(argv=None):
     sp.add_argument("--sim-time", type=float, default=50.0)
     sp.add_argument("--particles", type=int, default=300)
     sp.add_argument("--plot", default=None, help="output PNG path")
+    sp.add_argument("--gif", default=None,
+                    help="output GIF path (animated filter run)")
     sp.set_defaults(fn=cmd_localization)
 
     sp = sub.add_parser("landmarks", help="UTIAS landmark localization")

@@ -88,6 +88,74 @@ def parallel_linear_kalman_filter(f, q, h, r, m0, p0, ys) -> GaussianState:
     return GaussianState(x=means, cov=covs)
 
 
+def _combine_smooth(elem_a, elem_b):
+    """Associative combination of smoothing elements (paper §3): the
+    smoothing pass is affine-function composition m^s_k = E_k m^s_{k+1}
+    + g_k with covariance L accumulated under the same map. Under
+    ``associative_scan(..., reverse=True)`` the first operand is the
+    accumulated suffix (later in time), the second the new earlier
+    element, so the earlier element's map is applied outermost."""
+    e2, g2, l2 = elem_a  # suffix (k+1 .. T)
+    e1, g1, l1 = elem_b  # earlier element k
+    e = e1 @ e2
+    g = (e1 @ g2[..., None])[..., 0] + g1
+    ll = e1 @ l2 @ jnp.swapaxes(e1, -1, -2) + l1
+    return (e, g, ll)
+
+
+def parallel_rts_smoother(f, q, h, r, m0, p0, ys) -> GaussianState:
+    """Rauch-Tung-Striebel smoother over all T steps in O(log T) depth.
+
+    Runs the parallel filter, builds per-step smoothing elements
+    (E_k = P_k F^T P_pred^{-1}, g_k = m_k - E_k F m_k,
+    L_k = P_k - E_k P_pred E_k^T), and reduces them with a reverse
+    ``associative_scan``. No counterpart in the reference (it has no
+    smoother at all); this is the SURVEY §5 sequence-parallel component.
+    """
+    f, q = jnp.asarray(f), jnp.asarray(q)
+    filt = parallel_linear_kalman_filter(f, q, h, r, m0, p0, ys)
+    ms, ps = filt.x, filt.cov
+
+    def make_elem(m, p):
+        p_pred = f @ p @ f.T + q
+        gain = jnp.linalg.solve(p_pred.T, (p @ f.T).T).T  # P F^T P_pred^-1
+        g = m - gain @ (f @ m)
+        ll = p - gain @ p_pred @ gain.T
+        return gain, g, ll
+
+    elems = jax.vmap(make_elem)(ms, ps)
+    # last element is the identity-on-the-filtered-posterior
+    last = (jnp.zeros_like(elems[0][-1]), ms[-1], ps[-1])
+    elems = jax.tree.map(lambda full, l: full.at[-1].set(l), elems, last)
+    _, means, covs = jax.lax.associative_scan(
+        _combine_smooth, elems, reverse=True
+    )
+    return GaussianState(x=means, cov=covs)
+
+
+def sequential_rts_smoother(f, q, h, r, m0, p0, ys) -> GaussianState:
+    """Reference-semantics sequential RTS (oracle for the parallel one)."""
+    f, q = jnp.asarray(f), jnp.asarray(q)
+    filt = sequential_linear_kalman_filter(f, q, h, r, m0, p0, ys)
+    ms, ps = filt.x, filt.cov
+
+    def body(carry, mp):
+        ms_next, ps_next = carry
+        m, p = mp
+        p_pred = f @ p @ f.T + q
+        gain = jnp.linalg.solve(p_pred.T, (p @ f.T).T).T
+        m_s = m + gain @ (ms_next - f @ m)
+        p_s = p + gain @ (ps_next - p_pred) @ gain.T
+        return (m_s, p_s), (m_s, p_s)
+
+    _, (sm, sp) = jax.lax.scan(
+        body, (ms[-1], ps[-1]), (ms[:-1], ps[:-1]), reverse=True
+    )
+    sm = jnp.concatenate([sm, ms[-1:]], axis=0)
+    sp = jnp.concatenate([sp, ps[-1:]], axis=0)
+    return GaussianState(x=sm, cov=sp)
+
+
 def sequential_linear_kalman_filter(f, q, h, r, m0, p0, ys) -> GaussianState:
     """Reference-semantics sequential filter (oracle for the parallel one)."""
     f, q, h, r = map(jnp.asarray, (f, q, h, r))

@@ -18,7 +18,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 
 def make_sharded_pf_step(mesh, pf, num_particles: int):
@@ -40,7 +40,7 @@ def make_sharded_pf_step(mesh, pf, num_particles: int):
         shard_map, mesh=mesh,
         in_specs=(P(), P(axis), P(), P(), P()),
         out_specs=P(axis),
-        check_rep=False,
+        check_vma=False,
     )
     def step(key, particles, u, z, dt):
         my = jax.lax.axis_index(axis)

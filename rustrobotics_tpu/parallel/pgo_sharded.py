@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from rustrobotics_tpu.mapping.assemble import PRIOR_WEIGHT, apply_update_jit
 from rustrobotics_tpu.mapping.g2o import PoseGraphData
@@ -137,7 +137,7 @@ def make_distributed_step_fns(
         shard_map, mesh=mesh,
         in_specs=(node_specs, edge_specs, P()),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     def solve_kernel(nodes, edges, lam):
         rows, cols, vals, b_local, chi2_local = local_triplets(nodes, edges)
@@ -174,7 +174,7 @@ def make_distributed_step_fns(
         shard_map, mesh=mesh,
         in_specs=(node_specs, edge_specs),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )
     def error_kernel(nodes, edges):
         *_, chi2_local = local_triplets(nodes, edges)

@@ -58,6 +58,50 @@ def plot_filter_history(history, path, title="localization"):
     return path
 
 
+def save_filter_gif(history, path, stride=10, fps=12, title="localization"):
+    """Animated filter run: growing truth/dead-reckoning/estimate traces
+    plus the current 1-sigma covariance ellipse — the GIF the reference's
+    localization example writes frame-by-frame (plot.rs:50-157 +
+    examples/localization/bayesian_filter.rs:165-182), rendered here with
+    matplotlib animation in one pass."""
+    from matplotlib.animation import FuncAnimation, PillowWriter
+
+    plt = _mpl()
+    x_true = np.asarray(history["x_true"])
+    x_dr = np.asarray(history["x_dr"])
+    x_est = np.asarray(history["x_est"])
+    z = np.asarray(history["z"])
+    covs = np.asarray(history["cov_est"])
+    frames = range(1, len(x_true) + 1, stride)
+
+    fig, ax = plt.subplots(figsize=(7, 6))
+    pad = 1.0
+    ax.set_xlim(x_true[:, 0].min() - pad, x_true[:, 0].max() + pad)
+    ax.set_ylim(x_true[:, 1].min() - pad, x_true[:, 1].max() + pad)
+    ax.set_aspect("equal")
+    ax.set_title(title)
+    (l_true,) = ax.plot([], [], "b-", label="ground truth")
+    (l_dr,) = ax.plot([], [], "k--", label="dead reckoning")
+    (l_est,) = ax.plot([], [], "r-", label="estimate")
+    sc = ax.scatter([], [], s=4, c="g", alpha=0.4, label="observations")
+    (l_ell,) = ax.plot([], [], "m-", lw=1)
+    ax.legend(loc="upper left", fontsize=8)
+
+    def draw(k):
+        l_true.set_data(x_true[:k, 0], x_true[:k, 1])
+        l_dr.set_data(x_dr[:k, 0], x_dr[:k, 1])
+        l_est.set_data(x_est[:k, 0], x_est[:k, 1])
+        sc.set_offsets(z[:k, :2])
+        ell = covariance_ellipse(x_est[k - 1], covs[k - 1])
+        l_ell.set_data(ell[0], ell[1])
+        return l_true, l_dr, l_est, sc, l_ell
+
+    anim = FuncAnimation(fig, draw, frames=frames, blit=True)
+    anim.save(path, writer=PillowWriter(fps=fps))
+    plt.close(fig)
+    return path
+
+
 def plot_pose_graph(graph, path, title=None):
     """Scatter of poses (and landmarks) with the pose sequence polyline
     (role of PoseGraph::plot, rs:375-431)."""

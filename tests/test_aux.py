@@ -72,3 +72,33 @@ def test_config_layer():
     assert fc.num_particles == 64
     with pytest.raises(ValueError):
         from_dict(PGOConfig, {"bogus": 1})
+
+
+def test_plot_and_gif_writers(tmp_path):
+    import numpy as np
+
+    from rustrobotics_tpu.utils.plot import (
+        covariance_ellipse,
+        plot_filter_history,
+        save_filter_gif,
+    )
+
+    # ellipse of a diagonal covariance has the right extents
+    pts = covariance_ellipse([1.0, 2.0], np.diag([4.0, 0.25]), n_std=1.0,
+                             num_points=721)
+    assert abs((pts[0].max() - pts[0].min()) / 2 - 2.0) < 1e-3
+    assert abs((pts[1].max() - pts[1].min()) / 2 - 0.5) < 1e-3
+
+    t = np.linspace(0, 2 * np.pi, 30)
+    hist = {
+        "x_true": np.stack([np.cos(t), np.sin(t), t], -1),
+        "x_dr": np.stack([np.cos(t) * 1.1, np.sin(t) * 1.1, t], -1),
+        "x_est": np.stack([np.cos(t) * 0.99, np.sin(t) * 0.99, t], -1),
+        "z": np.stack([np.cos(t), np.sin(t)], -1),
+        "cov_est": np.broadcast_to(np.eye(3) * 0.01, (30, 3, 3)),
+    }
+    png = plot_filter_history(hist, str(tmp_path / "h.png"))
+    gif = save_filter_gif(hist, str(tmp_path / "h.gif"), stride=10, fps=5)
+    assert (tmp_path / "h.png").stat().st_size > 1000
+    assert (tmp_path / "h.gif").stat().st_size > 1000
+    assert png.endswith(".png") and gif.endswith(".gif")

@@ -110,6 +110,32 @@ def test_parallel_kalman_matches_sequential():
     np.testing.assert_allclose(np.asarray(par.cov), np.asarray(seq.cov), atol=1e-8)
 
 
+def test_parallel_rts_smoother_matches_sequential():
+    from rustrobotics_tpu.localization.kalman_scan import (
+        parallel_rts_smoother,
+        sequential_rts_smoother,
+    )
+
+    f, h, q, r = _linear_system()
+    rng = np.random.default_rng(2)
+    ys = jnp.asarray(rng.normal(size=(257, 1)))
+    m0 = jnp.array([0.0, 0.5])
+    p0 = jnp.eye(2)
+    par = parallel_rts_smoother(f, q, h, r, m0, p0, ys)
+    seq = sequential_rts_smoother(f, q, h, r, m0, p0, ys)
+    np.testing.assert_allclose(np.asarray(par.x), np.asarray(seq.x), atol=1e-8)
+    np.testing.assert_allclose(
+        np.asarray(par.cov), np.asarray(seq.cov), atol=1e-8
+    )
+    # smoothing must not be a no-op: interior estimates differ from filtering
+    filt = sequential_linear_kalman_filter(f, q, h, r, m0, p0, ys)
+    assert not np.allclose(np.asarray(par.x[:-1]), np.asarray(filt.x[:-1]))
+    # last smoothed state equals last filtered state
+    np.testing.assert_allclose(
+        np.asarray(par.x[-1]), np.asarray(filt.x[-1]), atol=1e-8
+    )
+
+
 def _rmse(a, b):
     return float(np.sqrt(np.mean(np.sum((np.asarray(a) - np.asarray(b)) ** 2, -1))))
 
