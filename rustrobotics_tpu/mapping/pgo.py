@@ -109,16 +109,18 @@ def optimize(
     for it in range(1, num_iterations + 1):
         vals, b, _ = values_fn(graph, jnp.asarray(lam if lm else 0.0, dtype))
         dx = jnp.asarray(solve_fn(vals, b), dtype=dtype)
+        prev_graph = graph
         graph = apply_update_jit(graph, dx)
         norm_dx = float(jnp.linalg.norm(dx))
         error = float(global_error(graph))
         if lm:
-            if last_error < error:
-                graph = apply_update_jit(graph, -dx)  # rollback (rs:277)
+            if not (error <= last_error):  # NaN-safe reject
+                graph = prev_graph  # rollback (role of rs:277's -dx update)
                 lam *= 2.0
             else:
                 lam /= 2.0
-        last_error = error  # reference records this unconditionally (rs:284)
+        if not np.isnan(error):
+            last_error = error  # reference records this unconditionally (rs:284)
         norms.append(norm_dx)
         errors.append(error)
         if log:
@@ -205,14 +207,21 @@ def make_optimize_jit(
             new_g = apply_update(g, dx)
             norm_dx = jnp.linalg.norm(dx)
             error = global_error(new_g)
-            reject = last_error < error
+            # NaN-safe reject: a non-finite trial error (e.g. f32 Cholesky
+            # breakdown on an ill-conditioned system at small lambda) must
+            # count as a rejection, not an acceptance.
+            reject = jnp.logical_not(error <= last_error)
             new_nodes = jax.tree.map(
                 lambda a, b_: jnp.where(reject, a, b_),
                 nodes, get_nodes(new_g),
             )
             lam = jnp.where(reject, lam * 2.0, lam / 2.0)
             errors = errors.at[it + 1].set(error)
-            return new_nodes, lam, error, it + 1, norm_dx, errors
+            # the reference records the trial error unconditionally
+            # (rs:284); carry the old one only when the trial was NaN so a
+            # single bad solve can't poison every later accept test
+            new_last = jnp.where(jnp.isnan(error), last_error, error)
+            return new_nodes, lam, new_last, it + 1, norm_dx, errors
 
         def step_gn(state):
             # GN fast path: system_values' chi2 IS the error of the

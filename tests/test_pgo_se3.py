@@ -62,3 +62,53 @@ def test_se3_jacobians_match_finite_differences():
                 - residual_qq(x1, se3.retract(x2, -d), z)) / (2 * eps)
         np.testing.assert_allclose(np.asarray(a[:, k]), np.asarray(fd_a), atol=1e-6)
         np.testing.assert_allclose(np.asarray(b[:, k]), np.asarray(fd_b), atol=1e-6)
+
+
+def test_parking_garage_f32_lm_nan_safe(dataset_dir):
+    """The f32 normal equations of parking-garage are too ill-conditioned
+    for a plain Cholesky (scaled cond ~4e9): early solves produce NaN dx.
+    The LM accept test must treat a NaN trial error as a REJECT (and keep
+    the pre-step graph) so lambda grows until the damped system becomes
+    f32-factorizable; convergence then matches the f64 host anchor."""
+    import jax.numpy as jnp
+
+    from rustrobotics_tpu.mapping.pgo import global_error, make_optimize_jit
+
+    g = load_g2o(dataset_dir / "g2o" / "parking-garage.g2o").astype(jnp.float32)
+    # 30 iterations: enough for the lambda ramp (~14 rejects) plus real
+    # progress; full convergence to the f64 anchor (<2.0 after 100 iters)
+    # is exercised on TPU via the verify drive to keep CPU CI time down.
+    run = make_optimize_jit(g, num_iterations=30, backend="dense",
+                            tolerance=1e-4, solver="lm")
+    out, errors, _ = run(g)
+    final = float(global_error(out))
+    assert np.isfinite(final)
+    assert final < float(errors[0]) / 10.0, final
+
+
+def test_host_lm_rejects_nan_trial(dataset_dir):
+    """Host-loop LM: a solver returning NaN must roll back to the pre-step
+    graph (not apply -dx, which would poison the poses with NaN)."""
+    import jax.numpy as jnp
+
+    from rustrobotics_tpu.mapping import solvers
+    from rustrobotics_tpu.mapping.pgo import optimize
+
+    g = load_g2o(dataset_dir / "g2o" / "simulation-pose-landmark.g2o")
+    calls = {"n": 0}
+    orig = solvers.solve_host
+
+    def nan_first(layout, vals, b):
+        calls["n"] += 1
+        out = orig(layout, vals, b)
+        if calls["n"] == 1:
+            return np.full_like(np.asarray(out), np.nan)
+        return out
+
+    solvers.SOLVERS["host"] = nan_first
+    try:
+        res = optimize(g, num_iterations=10, solver="lm", backend="host")
+    finally:
+        solvers.SOLVERS["host"] = orig
+    assert np.isfinite(res.errors[-1])
+    assert res.errors[-1] < res.errors[0]
