@@ -41,7 +41,7 @@ def _time_device_path(graph, iters=10, repeats=5):
 
     g32 = graph.astype(jnp.float32)
     run = make_optimize_jit(
-        g32, num_iterations=iters, backend="dense", tolerance=0.0
+        g32, num_iterations=iters, backend="banded-direct", tolerance=0.0
     )
     out = run(g32)  # compile + warmup
     jax.block_until_ready(out)

@@ -163,6 +163,11 @@ def make_optimize_jit(
     elif backend == "cg":
         def solve(vals, b):
             return solvers.solve_cg(layout, vals, b, tol=cg_tol)
+    elif backend == "banded-direct":
+        solve = solvers.make_banded_direct(layout)
+        if solve is None:  # bandwidth too large: dense is the right call
+            def solve(vals, b):
+                return solvers.solve_dense(layout, vals, b)
     elif backend in ("cg-banded", "cg-banded-jnp"):
         from rustrobotics_tpu.ops.banded import build_banded
 

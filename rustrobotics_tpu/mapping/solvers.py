@@ -213,6 +213,18 @@ def solve_cg_banded(layout: SystemLayout, blayout, vals, b, tol=1e-6,
     return x
 
 
+def make_banded_direct(layout: SystemLayout):
+    """Banded blocked Cholesky (RCM + block-row storage, ops/band_chol):
+    the TPU-native direct factorization. Returns a jittable solve(vals, b)
+    or None when the RCM bandwidth is too large for the banded path."""
+    from rustrobotics_tpu.ops.band_chol import build_band_chol, solve_band_chol
+
+    bl = build_band_chol(layout)
+    if bl is None:
+        return None
+    return lambda vals, b: solve_band_chol(bl, vals, b)
+
+
 def solve_native(layout: SystemLayout, vals, b):
     """Native C++ sparse LDL^T direct solve (RCM + elimination-tree
     up-looking factorization) — the framework's own UMFPACK-role solver.

@@ -175,3 +175,37 @@ def test_schur_backend_reaches_golden_chi2(dataset_dir):
     g = load_g2o(dataset_dir / "g2o" / "simulation-pose-landmark.g2o")
     res = optimize(g, num_iterations=100, backend="schur")
     assert abs(res.errors[-1] - 474.0) <= 1.0, res.errors[-1]
+
+
+def test_banded_direct_matches_host_direct(dataset_dir):
+    """ops/band_chol: RCM block-row banded Cholesky reproduces the f64
+    sparse-direct dx on real graphs (role of UMFPACK, rs:124-144)."""
+    import jax.numpy as jnp
+
+    from rustrobotics_tpu.mapping import solvers
+    from rustrobotics_tpu.mapping.assemble import build_layout, system_values
+    from rustrobotics_tpu.ops.band_chol import build_band_chol, solve_band_chol
+
+    for name in ["simulation-pose-landmark", "intel"]:
+        g = load_g2o(dataset_dir / "g2o" / f"{name}.g2o")
+        lay = build_layout(g)
+        vals, b, _ = system_values(g, jnp.float64(0.0))
+        bl = build_band_chol(lay)
+        assert bl is not None
+        x = np.asarray(solve_band_chol(bl, vals, b))
+        ref = np.asarray(solvers.solve_host(lay, vals, b))
+        assert np.abs(x - ref).max() / np.abs(ref).max() < 1e-8, name
+
+
+def test_banded_direct_golden_chi2(dataset_dir):
+    """Full jitted GN with the banded-direct backend reaches the
+    reference's converged chi2 on intel (rs:616-621)."""
+    import jax.numpy as jnp
+
+    from rustrobotics_tpu.mapping.pgo import global_error, make_optimize_jit
+
+    g = load_g2o(dataset_dir / "g2o" / "intel.g2o")
+    run = make_optimize_jit(g, num_iterations=100, backend="banded-direct",
+                            tolerance=1e-4)
+    out, errors, it = run(g)
+    assert abs(float(global_error(out)) - 360.0) <= 1.0
