@@ -1,0 +1,150 @@
+"""Criterion-equivalent benchmark suite (reference benches/, SURVEY §2 #28).
+
+The reference measures one EKF/UKF ``update_estimate`` on the 4-state
+SimpleProblem models (benches/kalman_filter.rs:11-60) and parse+10 GN
+iterations on intel.g2o (benches/graph_slam.rs:6-16). On TPU a single tiny
+update is dispatch-latency-bound, so each filter is reported two ways:
+
+- ``*_update_latency``: one jitted update, host-synced — the criterion
+  analog;
+- ``*_update_throughput``: the TPU-native number — a vmapped batch of
+  independent filters advanced per jitted call (how filters are actually
+  deployed here).
+
+Run: ``python -m rustrobotics_tpu.cli bench --suite``  (or
+``python -c "from rustrobotics_tpu.benchmarks import run_suite; run_suite()"``)
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BATCH = 4096
+
+
+def _bench(fn, *args, repeats=20):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def _simple_problem_filters():
+    from rustrobotics_tpu.localization import (
+        ExtendedKalmanFilter,
+        UnscentedKalmanFilter,
+    )
+    from rustrobotics_tpu.models import (
+        SimpleProblemMeasurementModel,
+        SimpleProblemMotionModel,
+    )
+
+    q = jnp.diag(jnp.array([0.1, 0.1, jnp.deg2rad(1.0), 1.0])) ** 2
+    r = jnp.diag(jnp.array([1.0, 1.0])) ** 2
+    ekf = ExtendedKalmanFilter(
+        r=q, q=r, motion_model=SimpleProblemMotionModel(),
+        measurement_model=SimpleProblemMeasurementModel(),
+    )
+    ukf = UnscentedKalmanFilter.create(
+        q=q, r=r, motion_model=SimpleProblemMotionModel(),
+        measurement_model=SimpleProblemMeasurementModel(),
+        alpha=0.001, beta=2.0, kappa=0.0,
+    )
+    return ekf, ukf
+
+
+def bench_filter_updates(results):
+    from rustrobotics_tpu.utils.state import GaussianState
+
+    ekf, ukf = _simple_problem_filters()
+    u = jnp.array([1.0, 0.1])
+    z = jnp.array([0.3, 0.2])
+    dt = 0.1
+
+    for name, filt in [("ekf", ekf), ("ukf", ukf)]:
+        state = GaussianState(x=jnp.zeros(4), cov=jnp.eye(4))
+        step = jax.jit(filt.step)
+        lat = _bench(step, state, u, z, dt)
+        results.append({
+            "metric": f"{name}_update_latency", "value": round(lat * 1e6, 2),
+            "unit": "us",
+        })
+
+        # TPU-native throughput: BATCH independent filters advanced STEPS
+        # times by one jitted scan (sync once, not per update)
+        steps = 100
+        bstate = GaussianState(
+            x=jnp.zeros((BATCH, 4)),
+            cov=jnp.broadcast_to(jnp.eye(4), (BATCH, 4, 4)),
+        )
+        bu = jnp.broadcast_to(u, (BATCH, 2))
+        bz = jnp.broadcast_to(z, (BATCH, 2))
+        vstep = jax.vmap(filt.step, in_axes=(0, 0, 0, None))
+
+        @jax.jit
+        def chained(s):
+            def body(carry, _):
+                return vstep(carry, bu, bz, dt), None
+            return jax.lax.scan(body, s, None, length=steps)[0]
+
+        t = _bench(chained, bstate, repeats=8)
+        results.append({
+            "metric": f"{name}_update_throughput",
+            "value": round(BATCH * steps / t / 1e6, 3), "unit": "Mupdates/s",
+        })
+
+
+def bench_pf_update(results):
+    from rustrobotics_tpu.localization.simulation import run_simulation_jit
+
+    # whole 500-step PF simulation per call; report steps/s
+    t = _bench(lambda: run_simulation_jit(jax.random.key(0), algo="pf"))
+    results.append({
+        "metric": "pf_sim_500steps", "value": round(0.5 / t, 3),
+        "unit": "ksteps/s",
+    })
+
+
+def bench_graph_slam(results, dataset_root="/root/reference/dataset"):
+    import os
+
+    from rustrobotics_tpu.mapping import load_g2o
+    from rustrobotics_tpu.mapping.pgo import make_optimize_jit
+
+    path = os.path.join(dataset_root, "g2o", "intel.g2o")
+    if not os.path.exists(path):
+        return
+    graph = load_g2o(path).astype(jnp.float32)
+    for backend in ["banded-direct", "dense"]:
+        run = make_optimize_jit(graph, num_iterations=10, backend=backend,
+                                tolerance=0.0)
+        t = _bench(lambda: run(graph), repeats=6)
+        results.append({
+            "metric": f"graph_slam_intel_{backend}",
+            "value": round(10 / t, 2), "unit": "GN iters/s",
+        })
+
+
+def run_suite():
+    results = []
+    bench_filter_updates(results)
+    bench_pf_update(results)
+    bench_graph_slam(results)
+    for r in results:
+        r["device"] = jax.devices()[0].platform
+        print(json.dumps(r))
+    return results
+
+
+if __name__ == "__main__":
+    run_suite()

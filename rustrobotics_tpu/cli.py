@@ -147,7 +147,11 @@ def cmd_pendulum(args):
 
 
 def cmd_bench(args):
-    del args
+    if args.suite:
+        from rustrobotics_tpu.benchmarks import run_suite
+
+        run_suite()
+        return
     import runpy
 
     runpy.run_path(os.path.join(os.path.dirname(__file__), "..", "bench.py"),
@@ -189,8 +193,10 @@ def main(argv=None):
     sp.add_argument("--file", required=True,
                     help="g2o path or bundled name (e.g. intel)")
     sp.add_argument("--solver", choices=["gn", "lm"], default="gn")
-    sp.add_argument("--backend", choices=["host", "dense", "cg"],
-                    default="host")
+    sp.add_argument(
+        "--backend", default="host",
+        choices=["host", "native", "dense", "schur", "cg", "banded-direct"],
+    )
     sp.add_argument("--iterations", type=int, default=50)
     sp.add_argument("--plot", default=None, help="output directory for PNGs")
     sp.set_defaults(fn=cmd_pgo)
@@ -203,6 +209,8 @@ def main(argv=None):
     sp.set_defaults(fn=cmd_pendulum)
 
     sp = sub.add_parser("bench", help="run the headline benchmark")
+    sp.add_argument("--suite", action="store_true",
+                    help="run the full criterion-equivalent suite")
     sp.set_defaults(fn=cmd_bench)
 
     args = p.parse_args(argv)

@@ -86,11 +86,15 @@ def optimize(
     layout = build_layout(graph)
     dtype = graph.poses2.dtype if graph.poses2.size else graph.poses3.dtype
     values_fn = jax.jit(partial(system_values, prior_weight=prior_weight))
-    solve_fn = solvers.SOLVERS[backend]
-    if backend in ("dense", "cg", "schur"):
+    if backend == "banded-direct":
+        banded = solvers.make_banded_direct(layout)
+        if banded is None:
+            banded = lambda vals, b: solvers.solve_dense(layout, vals, b)  # noqa: E731
+        solve_fn = jax.jit(banded)
+    elif backend in ("dense", "cg", "schur"):
         solve_fn = jax.jit(lambda vals, b: solvers.SOLVERS[backend](layout, vals, b))
     else:
-        host_solver = solve_fn
+        host_solver = solvers.SOLVERS[backend]
         solve_fn = lambda vals, b: host_solver(layout, vals, b)  # noqa: E731
 
     lm = solver in ("lm", "levenberg_marquardt")
