@@ -53,11 +53,19 @@ class EkfSlamKnownCorrespondences:
     q: jnp.ndarray
     motion_model: Any
     max_landmarks: int = flax.struct.field(pytree_node=False)
+    # ML-association gates for step_unknown (two-threshold scheme):
+    # match an existing track below alpha (chi^2(2) 95%), open a NEW track
+    # only above beta, and DISCARD ambiguous measurements in between —
+    # the standard guard against duplicate tracks from borderline
+    # innovations (single-gate ML association is notoriously brittle).
+    alpha: float = flax.struct.field(pytree_node=False, default=5.991)
+    beta: float = flax.struct.field(pytree_node=False, default=25.0)
 
     @classmethod
-    def create(cls, q, motion_model, max_landmarks: int):
+    def create(cls, q, motion_model, max_landmarks: int,
+               alpha: float = 5.991, beta: float = 25.0):
         return cls(q=jnp.asarray(q), motion_model=motion_model,
-                   max_landmarks=max_landmarks)
+                   max_landmarks=max_landmarks, alpha=alpha, beta=beta)
 
     def init_state(self, robot_pose, robot_cov=None) -> EkfSlamState:
         robot_pose = jnp.asarray(robot_pose)
@@ -165,4 +173,87 @@ class EkfSlamKnownCorrespondences:
             return self.update_one(st, k, zi, ok), None
 
         state, _ = jax.lax.scan(body, state, (lm_idx, z, mask))
+        return state
+
+    # ------------------------- unknown correspondences (PR Table 10.3)
+
+    def associate(self, state: EkfSlamState, z):
+        """Maximum-likelihood data association, vectorized over ALL
+        landmark slots at once (no per-landmark loop — the TPU shape):
+        Mahalanobis distance pi_l = nu^T S_l^-1 nu against every seen
+        slot using only the sparse (robot, landmark) covariance blocks.
+
+        Returns (slot k, is_new, usable). Beyond the reference, which has
+        no data association at all (ekf_slam_known.rs is empty).
+        """
+        dtype = state.x.dtype
+        big = self.max_landmarks
+        lms = state.landmarks  # (L, 2)
+        dx = lms[:, 0] - state.x[0]
+        dy = lms[:, 1] - state.x[1]
+        q = dx * dx + dy * dy
+        qs = jnp.sqrt(jnp.clip(q, 1e-12, None))
+        z_pred = jnp.stack([qs, jnp.arctan2(dy, dx) - state.x[2]], axis=-1)
+        nu = jnp.stack(
+            [z[0] - z_pred[:, 0], wrap_angle(z[1] - z_pred[:, 1])], axis=-1
+        )  # (L, 2)
+
+        # per-slot 2x3 / 2x2 measurement Jacobians
+        zr = jnp.zeros_like(dx)
+        h_r = jnp.stack([
+            jnp.stack([-dx / qs, -dy / qs, zr], -1),
+            jnp.stack([dy / q, -dx / q, -jnp.ones_like(dx)], -1),
+        ], -2)  # (L, 2, 3)
+        h_l = jnp.stack([
+            jnp.stack([dx / qs, dy / qs], -1),
+            jnp.stack([-dy / q, dx / q], -1),
+        ], -2)  # (L, 2, 2)
+
+        # sparse covariance blocks: robot-robot, robot-lm_l, lm_l-lm_l
+        c_rr = state.cov[:3, :3]
+        c_rl = state.cov[:3, 3:].reshape(3, big, 2).transpose(1, 0, 2)  # (L,3,2)
+        c_full = state.cov[3:, 3:].reshape(big, 2, big, 2)
+        idx = jnp.arange(big)
+        c_ll = c_full[idx, :, idx, :]  # (L, 2, 2)
+
+        s = (
+            jnp.einsum("lij,jk,lmk->lim", h_r, c_rr, h_r)
+            + jnp.einsum("lij,ljk,lmk->lim", h_r, c_rl, h_l)
+            + jnp.einsum("lij,lkj,lmk->lim", h_l, c_rl, h_r)
+            + jnp.einsum("lij,ljk,lmk->lim", h_l, c_ll, h_l)
+            + self.q.astype(dtype)
+        )  # (L, 2, 2)
+        s_inv = jnp.linalg.inv(s)
+        pi = jnp.einsum("li,lij,lj->l", nu, s_inv, nu)
+        pi = jnp.where(state.seen, pi, jnp.inf)
+
+        best = jnp.argmin(pi)
+        best_pi = pi[best]
+        is_match = best_pi < jnp.asarray(self.alpha, dtype)
+        is_new = best_pi > jnp.asarray(self.beta, dtype)
+        any_free = jnp.logical_not(state.seen.all())
+        first_free = jnp.argmin(state.seen)  # first False
+        k = jnp.where(is_match, best, first_free)
+        usable = jnp.logical_or(
+            is_match, jnp.logical_and(is_new, any_free)
+        )
+        return k, is_new, usable
+
+    def step_unknown(self, state: EkfSlamState, u, has_control, z, mask,
+                     dt) -> EkfSlamState:
+        """Unknown-correspondence step: ML-associate each masked
+        measurement (sequentially, so later associations see earlier
+        updates), then reuse the known-correspondence update (which
+        initializes fresh slots via the seen flag)."""
+        pred = self.predict(state, u, dt)
+        state = jax.tree.map(
+            lambda a, b: jnp.where(has_control, a, b), pred, state
+        )
+
+        def body(st, inp):
+            zi, ok = inp
+            k, _, usable = self.associate(st, zi)
+            return self.update_one(st, k, zi, jnp.logical_and(ok, usable)), None
+
+        state, _ = jax.lax.scan(body, state, (z, mask))
         return state

@@ -112,3 +112,50 @@ def test_ekf_slam_unseen_landmarks_stay_uncertain():
     cov = np.asarray(state.cov)
     # unseen slots keep their huge prior variance
     assert cov[-1, -1] > 1e5 and cov[-4, -4] > 1e5
+
+
+def test_ekf_slam_unknown_correspondences():
+    """ML data association (PR Table 10.3): same simulated world but with
+    measurement IDENTITY withheld — the filter must discover the right
+    number of landmarks and still recover trajectory + map. Capability the
+    reference doesn't have in any form."""
+    poses, lms, zs, ids, masks, u, dt = _simulate()
+    num_landmarks = lms.shape[0]
+    slam = EkfSlamKnownCorrespondences.create(
+        q=jnp.diag(jnp.asarray([0.03**2, 0.01**2])),
+        motion_model=VelocityMotionModel.create([0.005] * 4 + [0.001] * 2),
+        max_landmarks=num_landmarks + 4,  # head-room for spurious tracks
+    )
+    state = slam.init_state(jnp.asarray([3.0, 0.0, np.pi / 2]))
+
+    # shuffle each step's measurement rows so slot order carries no hint
+    rng = np.random.default_rng(7)
+    zs_s = zs.copy()
+    masks_s = masks.copy()
+    for t in range(len(zs)):
+        p = rng.permutation(zs.shape[1])
+        zs_s[t] = zs[t][p]
+        masks_s[t] = masks[t][p]
+
+    @jax.jit
+    def run(state):
+        def body(st, ev):
+            z, mask = ev
+            st = slam.step_unknown(st, jnp.asarray(u), jnp.asarray(True),
+                                   z, mask, dt)
+            return st, st.x[:3]
+
+        return jax.lax.scan(body, state,
+                            (jnp.asarray(zs_s), jnp.asarray(masks_s)))
+
+    state, traj = run(state)
+    traj = np.asarray(traj)
+    ate = np.sqrt(np.mean(np.sum((traj[:, :2] - poses[:, :2]) ** 2, -1)))
+    assert ate < 0.2, ate
+    # discovered exactly the true landmarks (greedy NN matching)
+    seen = np.asarray(state.seen)
+    assert seen.sum() == num_landmarks, int(seen.sum())
+    est = np.asarray(state.landmarks)[seen]
+    d = np.linalg.norm(est[:, None, :] - lms[None, :, :], axis=-1)
+    assert (d.min(axis=1) < 0.25).all(), d.min(axis=1)
+    assert len(set(d.argmin(axis=1))) == num_landmarks  # one track per lm
