@@ -1,0 +1,79 @@
+"""Worker for the multi-process distributed PGO test (SURVEY §4: exercise
+the jax.distributed + cross-process collective path on a CPU mesh, the CI
+stand-in for a multi-host TPU pod slice).
+
+Each process contributes 4 local CPU devices to an 8-device global mesh,
+builds the SAME synthetic graph, shards edge arrays across the global mesh
+(nodes replicated), and runs one distributed GN step. Process 0 prints one
+JSON line with chi2 before/after and |dx| for the parent test to compare
+against the single-process result.
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 4)
+
+
+def main():
+    pid = int(sys.argv[1])
+    nproc = int(sys.argv[2])
+    port = sys.argv[3]
+    jax.distributed.initialize(
+        f"localhost:{port}", num_processes=nproc, process_id=pid
+    )
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from rustrobotics_tpu.mapping.assemble import apply_update_jit
+    from rustrobotics_tpu.mapping.synthetic import synthetic_pose_graph_2d
+    from rustrobotics_tpu.parallel.pgo_sharded import (
+        _EDGE_FIELDS,
+        make_distributed_step_fns,
+        pad_edges_for_sharding,
+    )
+
+    n_dev = jax.device_count()
+    assert n_dev == 4 * nproc, n_dev
+    mesh = Mesh(np.array(jax.devices()), ("edges",))
+
+    graph = synthetic_pose_graph_2d(num_poses=32, num_landmarks=4,
+                                    dtype=jnp.float32)
+    graph = pad_edges_for_sharding(graph, n_dev)
+
+    # shard edge arrays over the global mesh, replicate everything else
+    edge_sh = NamedSharding(mesh, P("edges"))
+    repl = NamedSharding(mesh, P())
+    updates = {}
+    for f in graph.__dataclass_fields__:
+        v = getattr(graph, f)
+        if not hasattr(v, "shape"):
+            continue
+        sh = edge_sh if (f in _EDGE_FIELDS and v.ndim >= 1 and v.shape[0]) \
+            else repl
+        updates[f] = jax.device_put(np.asarray(v), sh)
+    graph = graph.replace(**updates)
+
+    solve, error = make_distributed_step_fns(mesh, graph, cg_tol=1e-10)
+    dx, chi2_before = solve(graph, jnp.asarray(0.0, jnp.float32))
+    new_graph = apply_update_jit(graph, dx)
+    chi2_after = error(new_graph)
+    out = {
+        "chi2_before": float(chi2_before),
+        "chi2_after": float(chi2_after),
+        "dx_norm": float(jnp.linalg.norm(dx)),
+        "devices": n_dev,
+    }
+    if pid == 0:
+        print("RESULT " + json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -96,3 +96,53 @@ def test_sharded_pf_matches_single_device_stats(mesh8):
     )
     # posterior concentrates near the observation
     np.testing.assert_allclose(np.asarray(est_sh.x[:2]), np.asarray(z), atol=0.15)
+
+
+def test_multiprocess_distributed_matches_single_process(tmp_path):
+    """True multi-host stand-in (SURVEY §4): two OS processes, each with 4
+    CPU devices, form one 8-device mesh via jax.distributed; the
+    edge-sharded GN step's collectives cross the process boundary (Gloo).
+    Numerics must match the single-process 8-device mesh run."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    import jax.numpy as jnp
+
+    from rustrobotics_tpu.mapping.assemble import apply_update_jit
+    from rustrobotics_tpu.mapping.synthetic import synthetic_pose_graph_2d
+    from rustrobotics_tpu.parallel.mesh import make_mesh
+    from rustrobotics_tpu.parallel.pgo_sharded import (
+        make_distributed_step_fns,
+        pad_edges_for_sharding,
+    )
+
+    # single-process reference on the (conftest) 8-device mesh
+    mesh = make_mesh(8, axis="edges")
+    graph = synthetic_pose_graph_2d(num_poses=32, num_landmarks=4,
+                                    dtype=jnp.float32)
+    graph = pad_edges_for_sharding(graph, 8)
+    solve, error = make_distributed_step_fns(mesh, graph, cg_tol=1e-10)
+    dx, chi2_before = solve(graph, jnp.asarray(0.0, jnp.float32))
+    chi2_after = float(error(apply_update_jit(graph, dx)))
+
+    worker = os.path.join(os.path.dirname(__file__), "multiproc_worker.py")
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(pid), "2", "29431"],
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, env=env,
+            text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=300)[0] for p in procs]
+    assert all(p.returncode == 0 for p in procs), outs
+    line = next(l for l in outs[0].splitlines() if l.startswith("RESULT "))
+    got = json.loads(line[len("RESULT "):])
+    assert got["devices"] == 8
+    assert abs(got["chi2_before"] - float(chi2_before)) < 1e-2 * (
+        1 + float(chi2_before))
+    assert abs(got["chi2_after"] - chi2_after) < 1e-2 * (1 + chi2_after)
