@@ -209,3 +209,14 @@ def test_banded_direct_golden_chi2(dataset_dir):
                             tolerance=1e-4)
     out, errors, it = run(g)
     assert abs(float(global_error(out)) - 360.0) <= 1.0
+
+
+def test_m3500_converges(dataset_dir):
+    """input_M3500_g2o is bundled but untested by the reference; our
+    anchor (f64 banded-direct GN): 2566668 -> 137.91 in 7 iterations."""
+    from rustrobotics_tpu.mapping.pgo import optimize
+
+    g = load_g2o(dataset_dir / "g2o" / "input_M3500_g2o.g2o")
+    res = optimize(g, num_iterations=10, backend="banded-direct")
+    assert res.errors[0] > 2.5e6
+    assert res.errors[-1] < 138.5, res.errors[-1]

@@ -112,3 +112,16 @@ def test_host_lm_rejects_nan_trial(dataset_dir):
         solvers.SOLVERS["host"] = orig
     assert np.isfinite(res.errors[-1])
     assert res.errors[-1] < res.errors[0]
+
+
+def test_torus3D_lm_descends(dataset_dir):
+    """torus3D (n=30000, 3D) — beyond the reference's todo!(). Anchor:
+    LM drops chi2 3975103 -> ~322k within 8 iterations (full convergence
+    to ~60k takes ~50; kept short for CI)."""
+    from rustrobotics_tpu.mapping.pgo import optimize
+
+    g = load_g2o(dataset_dir / "g2o" / "torus3D.g2o")
+    res = optimize(g, num_iterations=8, solver="levenberg_marquardt",
+                   backend="banded-direct")
+    assert res.errors[0] > 3.9e6
+    assert res.errors[-1] < res.errors[0] / 10.0, res.errors[-1]
