@@ -102,3 +102,38 @@ def test_plot_and_gif_writers(tmp_path):
     assert (tmp_path / "h.png").stat().st_size > 1000
     assert (tmp_path / "h.gif").stat().st_size > 1000
     assert png.endswith(".png") and gif.endswith(".gif")
+
+
+def test_debug_sanitizers():
+    import jax
+    import jax.numpy as jnp
+
+    from rustrobotics_tpu.utils.debug import (
+        assert_finite,
+        check_covariance,
+        checked,
+    )
+
+    # NaN inside jit is caught with checkify
+    def bad(x):
+        return jnp.sqrt(x)  # NaN for negative input
+
+    f = checked(jax.jit(bad))
+    f(jnp.asarray(4.0))  # fine
+    with pytest.raises(Exception, match="nan"):
+        f(jnp.asarray(-1.0))
+
+    # covariance invariant
+    def with_cov(c):
+        check_covariance(c)
+        return c.sum()
+
+    g = checked(jax.jit(with_cov))
+    g(jnp.eye(3))
+    with pytest.raises(Exception, match="symmetric"):
+        g(jnp.asarray([[1.0, 2.0], [0.0, 1.0]]))
+
+    # host-side pytree check
+    assert_finite({"a": jnp.ones(3)})
+    with pytest.raises(FloatingPointError):
+        assert_finite({"a": jnp.asarray([1.0, jnp.nan])})
