@@ -34,7 +34,10 @@ import numpy as np
 class EventArrays:
     """Fixed-shape merged event stream.
 
-    times: (T,) absolute stamps; dt: (T,) since previous event;
+    times: (T,) stamps RELATIVE to the groundtruth start — absolute UTIAS
+    stamps are ~1.24e9 epoch seconds, where f32 resolution is ~128 s, so
+    shifting the origin before any dtype cast is what keeps the f32 (TPU)
+    replay numerically sane; dt: (T,) since previous event;
     control: (T, 2) [v, omega]; has_control: (T,) bool;
     meas_ids: (T, M) int32; meas_z: (T, M, 2) [range, bearing];
     meas_mask: (T, M) bool.
@@ -117,6 +120,7 @@ class UtiasDataset:
                 meas_z[k, :cnt] = me[i0:i0 + cnt, 2:4]
                 meas_mask[k, :cnt] = True
         dt = np.diff(times, prepend=times[0])
+        times = times - self.groundtruth[0, 0]  # f32-safe relative stamps
         return EventArrays(
             times=jnp.asarray(times, dtype=dtype),
             dt=jnp.asarray(dt, dtype=dtype),

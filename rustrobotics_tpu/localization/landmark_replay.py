@@ -38,7 +38,7 @@ def build_filter(dataset: UtiasDataset, algo: str = "ekf", dtype=jnp.float64):
         positions=np.concatenate(
             [dataset.landmarks[:, :2], np.zeros((len(dataset.landmarks), 1))],
             axis=1,
-        ),
+        ).astype(np.dtype(dtype)),
     )
     motion = VelocityMotionModel.create(
         jnp.asarray([1.0, 1.0, 30.0, 30.0, 10.0, 10.0], dtype=dtype)
@@ -68,6 +68,35 @@ def build_filter(dataset: UtiasDataset, algo: str = "ekf", dtype=jnp.float64):
     raise ValueError(f"unknown algo {algo!r}")
 
 
+@jax.jit
+def _replay_kalman(filt, state0, control, hc, ids, z, mask, dt):
+    """Whole Kalman-family replay as ONE cached jitted program (filt is a
+    pytree argument, so the trace is reused across calls/datasets of the
+    same shape — re-tracing the 10k-step scan per call cost 3x)."""
+
+    def step(state, ev):
+        u, hci, idsi, zi, maski, dti = ev
+        new = filt.step(state, u, hci, idsi, zi, maski, dti)
+        return new, new
+
+    return jax.lax.scan(step, state0, (control, hc, ids, z, mask, dt))[1]
+
+
+@jax.jit
+def _replay_pf(filt, particles0, key, control, hc, ids, z, mask, dt):
+    def step(carry, ev):
+        particles, k = carry
+        k, k_step = jax.random.split(k)
+        u, hci, idsi, zi, maski, dti = ev
+        particles = filt.step(k_step, particles, u, hci, idsi, zi, maski, dti)
+        est = gaussian_estimate(particles)
+        return (particles, k), est
+
+    return jax.lax.scan(
+        step, (particles0, key), (control, hc, ids, z, mask, dt)
+    )[1]
+
+
 def run_utias_localization(
     dataset: UtiasDataset,
     algo: str = "ekf",
@@ -82,8 +111,8 @@ def run_utias_localization(
     gt0 = dataset.groundtruth[0]
     x0 = jnp.asarray(gt0[1:4], dtype=dtype)
     # dt of the first event is measured from the groundtruth start
-    # (ll.rs:76-90)
-    dt = events.dt.at[0].set(events.times[0] - gt0[0])
+    # (ll.rs:76-90); event times are already groundtruth-relative
+    dt = events.dt.at[0].set(events.times[0])
 
     if algo in ("ekf", "ukf"):
         init_var = 1e-10 if algo == "ekf" else 1e-6  # UKF needs a
@@ -92,16 +121,9 @@ def run_utias_localization(
             x=x0, cov=jnp.eye(3, dtype=dtype) * init_var
         )
 
-        def step(state, ev):
-            u, hc, ids, z, mask, dti = ev
-            new = filt.step(state, u, hc, ids, z, mask, dti)
-            return new, new
-
-        _, states = jax.lax.scan(
-            jax.jit(step),
-            state0,
-            (events.control, events.has_control, events.meas_ids,
-             events.meas_z, events.meas_mask, dt),
+        states = _replay_kalman(
+            filt, state0, events.control, events.has_control,
+            events.meas_ids, events.meas_z, events.meas_mask, dt,
         )
         return np.asarray(events.times), states
 
@@ -114,19 +136,9 @@ def run_utias_localization(
 
     particles0 = MultiVariateNormal.create(x0, r).sample(k_init, (num_particles,))
 
-    def step_pf(carry, ev):
-        particles, k = carry
-        k, k_step = jax.random.split(k)
-        u, hc, ids, z, mask, dti = ev
-        particles = filt.step(k_step, particles, u, hc, ids, z, mask, dti)
-        est = gaussian_estimate(particles)
-        return (particles, k), est
-
-    (_, _), states = jax.lax.scan(
-        jax.jit(step_pf),
-        (particles0, key),
-        (events.control, events.has_control, events.meas_ids,
-         events.meas_z, events.meas_mask, dt),
+    states = _replay_pf(
+        filt, particles0, key, events.control, events.has_control,
+        events.meas_ids, events.meas_z, events.meas_mask, dt,
     )
     return np.asarray(events.times), states
 
@@ -134,7 +146,8 @@ def run_utias_localization(
 def ate_vs_groundtruth(dataset: UtiasDataset, times, states) -> float:
     """RMSE of estimated xy against time-interpolated groundtruth."""
     gt = dataset.groundtruth
-    gx = np.interp(times, gt[:, 0], gt[:, 1])
-    gy = np.interp(times, gt[:, 0], gt[:, 2])
+    gt_times = gt[:, 0] - gt[0, 0]  # event times are groundtruth-relative
+    gx = np.interp(times, gt_times, gt[:, 1])
+    gy = np.interp(times, gt_times, gt[:, 2])
     est = np.asarray(states.x[:, :2])
     return float(np.sqrt(np.mean((est[:, 0] - gx) ** 2 + (est[:, 1] - gy) ** 2)))

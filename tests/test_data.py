@@ -39,9 +39,10 @@ def test_utias_event_merge(utias):
     # each event has control or measurements (or both)
     assert np.all(hc | mm.any(axis=1))
     # measurement timestamps grouped: each masked row's event time appears
-    # in the raw measurement stream
-    meas_times = set(utias.measurements[:, 0].tolist())
-    for t, has_m in zip(times.tolist(), mm.any(axis=1).tolist()):
+    # in the raw measurement stream (event times are groundtruth-relative)
+    origin = utias.groundtruth[0, 0]
+    meas_times = set((utias.measurements[:, 0] - origin).round(6).tolist())
+    for t, has_m in zip(times.round(6).tolist(), mm.any(axis=1).tolist()):
         if has_m:
             assert t in meas_times
 
@@ -58,6 +59,16 @@ def test_utias_localization_ate(utias):
     times, states = run_utias_localization(utias, algo="ekf", max_events=10000)
     ate = ate_vs_groundtruth(utias, times, states)
     assert ate < 0.3, ate
+    # f32 (the TPU dtype) must hold the same accuracy: guards the
+    # relative-time-origin handling (absolute epoch stamps don't fit f32)
+    # and the Joseph-form covariance update
+    import jax.numpy as jnp
+
+    times32, states32 = run_utias_localization(
+        utias, algo="ekf", max_events=10000, dtype=jnp.float32
+    )
+    ate32 = ate_vs_groundtruth(utias, times32, states32)
+    assert ate32 < 0.3, ate32
 
 
 def test_slam_course_loader(dataset_dir):
