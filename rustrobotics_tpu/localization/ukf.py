@@ -147,19 +147,27 @@ class UnscentedKalmanFilterKnownCorrespondences:
         lms, valid = self.landmarks.lookup(ids)
         valid = jnp.logical_and(valid, mask)
 
+        from rustrobotics_tpu.utils.angles import wrap_angle
+
         def body(st, inp):
             lm, zi, ok = inp
             sp = self._sigma_points(st)
             sp_z = jax.vmap(
                 lambda x: self.measurement_model.prediction(x, lm)
             )(sp)
+            # bearings are circular: re-center sigma bearings on the first
+            # point's so a spread straddling +-pi doesn't corrupt the
+            # weighted mean, and wrap the innovation
+            b0 = sp_z[0, 1]
+            sp_z = sp_z.at[:, 1].set(b0 + wrap_angle(sp_z[:, 1] - b0))
             mean_z = jnp.einsum("k,ki->i", self.mw, sp_z)
             dz = sp_z - mean_z
             cov_z = jnp.einsum("k,ki,kj->ij", self.cw, dz, dz) + self.q
             dx = sp - st.x
             cross = jnp.einsum("k,ki,kj->ij", self.cw, dx, dz)
             gain = cross @ jnp.linalg.inv(cov_z)
-            x_new = st.x + gain @ (zi - mean_z)
+            innov = (zi - mean_z).at[1].set(wrap_angle(zi[1] - mean_z[1]))
+            x_new = st.x + gain @ innov
             cov_new = st.cov - gain @ cov_z @ gain.T
             x = jnp.where(ok, x_new, st.x)
             cov = jnp.where(ok, cov_new, st.cov)
