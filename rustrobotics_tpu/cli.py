@@ -146,6 +146,41 @@ def cmd_pendulum(args):
         print("saved", args.plot)
 
 
+def cmd_slam(args):
+    import numpy as np
+
+    _apply_precision(args)
+    from rustrobotics_tpu.data.slam_course import load_slam_course
+    from rustrobotics_tpu.mapping.slam_replay import (
+        landmark_map_error,
+        run_slam_course,
+    )
+
+    base = args.dataset or (_dataset_root() + "/slam_course")
+    ds = load_slam_course(base)
+    traj, state = run_slam_course(ds)
+    mx, mean, nseen = landmark_map_error(ds, state)
+    print(f"EKF-SLAM over {traj.shape[0]} steps: {nseen}/"
+          f"{len(ds.landmark_ids)} landmarks mapped, "
+          f"map error mean {mean:.3f} m / max {mx:.3f} m")
+    if args.plot:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots(figsize=(7, 6))
+        ax.plot(traj[:, 0], traj[:, 1], "r-", lw=0.8, label="trajectory")
+        lms = np.asarray(state.landmarks)
+        ax.scatter(lms[:, 0], lms[:, 1], marker="x", c="r", label="estimated")
+        ax.scatter(ds.landmarks[:, 0], ds.landmarks[:, 1], marker="*",
+                   s=120, c="k", label="true landmarks")
+        ax.set_aspect("equal")
+        ax.legend()
+        fig.savefig(args.plot, dpi=110, bbox_inches="tight")
+        print("saved", args.plot)
+
+
 def cmd_bench(args):
     if args.suite:
         from rustrobotics_tpu.benchmarks import run_suite
@@ -207,6 +242,12 @@ def main(argv=None):
     sp.add_argument("--dt", type=float, default=0.01)
     sp.add_argument("--plot", default=None)
     sp.set_defaults(fn=cmd_pendulum)
+
+    sp = sub.add_parser("slam", help="EKF-SLAM on the slam_course dataset")
+    common(sp)
+    sp.add_argument("--dataset", default=None, help="slam_course directory")
+    sp.add_argument("--plot", default=None, help="output PNG path")
+    sp.set_defaults(fn=cmd_slam)
 
     sp = sub.add_parser("bench", help="run the headline benchmark")
     sp.add_argument("--suite", action="store_true",

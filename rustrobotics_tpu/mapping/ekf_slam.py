@@ -90,8 +90,11 @@ class EkfSlamKnownCorrespondences:
         new_robot = self.motion_model.prediction(robot, u, dt)
         x = state.x.at[:3].set(new_robot)
         cov = state.cov
-        cov_rr = g @ cov[:3, :3] @ g.T + v @ m @ v.T
-        cov_rm = g @ cov[:3, 3:]
+        # full-f32 passes: TPU bf16 default corrupts the joint covariance
+        # badly against the 1e6 unseen-landmark prior
+        with jax.default_matmul_precision("highest"):
+            cov_rr = g @ cov[:3, :3] @ g.T + v @ m @ v.T
+            cov_rm = g @ cov[:3, 3:]
         cov = cov.at[:3, :3].set(cov_rr)
         cov = cov.at[:3, 3:].set(cov_rm)
         cov = cov.at[3:, :3].set(cov_rm.T)
@@ -106,7 +109,7 @@ class EkfSlamKnownCorrespondences:
         lx = state.x[0] + rng * jnp.cos(bearing + theta)
         ly = state.x[1] + rng * jnp.sin(bearing + theta)
         x = jax.lax.dynamic_update_slice(
-            state.x, jnp.stack([lx, ly]), (3 + 2 * k,)
+            state.x, jnp.stack([lx, ly]), (3 + 2 * jnp.asarray(k),)
         )
         return EkfSlamState(x=x, cov=state.cov, seen=state.seen.at[k].set(True))
 
@@ -126,8 +129,10 @@ class EkfSlamKnownCorrespondences:
             [[dx / qs, dy / qs], [-dy / q, dx / q]], dtype=state.x.dtype
         )
         h = jnp.zeros((2, state.x.shape[0]), dtype=state.x.dtype)
-        h = jax.lax.dynamic_update_slice(h, h_robot, (0, 0))
-        h = jax.lax.dynamic_update_slice(h, h_lm, (0, 3 + 2 * k))
+        k = jnp.asarray(k)
+        zero = jnp.zeros((), k.dtype)
+        h = jax.lax.dynamic_update_slice(h, h_robot, (zero, zero))
+        h = jax.lax.dynamic_update_slice(h, h_lm, (zero, 3 + 2 * k))
         return h
 
     def _z_pred(self, state: EkfSlamState, k):
@@ -149,12 +154,15 @@ class EkfSlamKnownCorrespondences:
         h = self._measurement_jacobian(state, k)
         z_pred = self._z_pred(state, k)
         innov = jnp.stack([z[0] - z_pred[0], wrap_angle(z[1] - z_pred[1])])
-        s = h @ state.cov @ h.T + self.q
-        gain = state.cov @ h.T @ jnp.linalg.inv(s)
-        x_new = state.x + gain @ innov
-        cov_new = (
-            jnp.eye(state.x.shape[0], dtype=state.x.dtype) - gain @ h
-        ) @ state.cov
+        with jax.default_matmul_precision("highest"):
+            s = h @ state.cov @ h.T + self.q
+            gain = state.cov @ h.T @ jnp.linalg.inv(s)
+            x_new = state.x + gain @ innov
+            # Joseph form: PSD/symmetry-preserving in f32 (the TPU dtype)
+            ikh = (
+                jnp.eye(state.x.shape[0], dtype=state.x.dtype) - gain @ h
+            )
+            cov_new = ikh @ state.cov @ ikh.T + gain @ self.q @ gain.T
         x = jnp.where(valid, x_new, state.x)
         cov = jnp.where(valid, cov_new, state.cov)
         return EkfSlamState(x=x, cov=cov, seen=state.seen)

@@ -204,3 +204,88 @@ class SimpleProblemMotionModel:
         # the filter itself via its R covariance).
         del key
         return self.prediction(x, u, dt)
+
+
+@flax.struct.dataclass
+class OdometryMotionModel:
+    """Odometry (rot1-trans-rot2) motion model (Probabilistic Robotics
+    ch. 5.4) for datasets that log relative odometry instead of velocity
+    commands — the slam_course sensor log's ODOMETRY records
+    (reference loads them, src/data/slam_course.rs:36-97, but has no model
+    to consume them). Control u = [rot1, trans, rot2]; dt is ignored.
+
+    alphas = [a1..a4]: control-space noise
+    var = [a1 r1^2 + a2 t^2, a3 t^2 + a4 (r1^2 + r2^2), a1 r2^2 + a2 t^2].
+    """
+
+    alphas: jnp.ndarray  # (4,)
+
+    @classmethod
+    def create(cls, alphas):
+        return cls(alphas=jnp.asarray(alphas))
+
+    def prediction(self, x, u, dt):
+        del dt
+        r1, t, r2 = u[..., 0], u[..., 1], u[..., 2]
+        heading = x[..., 2] + r1
+        return jnp.stack(
+            [
+                x[..., 0] + t * jnp.cos(heading),
+                x[..., 1] + t * jnp.sin(heading),
+                wrap_angle(x[..., 2] + r1 + r2),
+            ],
+            axis=-1,
+        )
+
+    def jacobian_wrt_state(self, x, u, dt):
+        del dt
+        r1, t = u[..., 0], u[..., 1]
+        heading = x[..., 2] + r1
+        z = jnp.zeros_like(heading)
+        one = jnp.ones_like(heading)
+        return jnp.stack(
+            [
+                jnp.stack([one, z, -t * jnp.sin(heading)], -1),
+                jnp.stack([z, one, t * jnp.cos(heading)], -1),
+                jnp.stack([z, z, one], -1),
+            ],
+            axis=-2,
+        )
+
+    def jacobian_wrt_input(self, x, u, dt):
+        """(..., 3, 3) w.r.t. [rot1, trans, rot2]."""
+        del dt
+        r1, t = u[..., 0], u[..., 1]
+        heading = x[..., 2] + r1
+        z = jnp.zeros_like(heading)
+        one = jnp.ones_like(heading)
+        return jnp.stack(
+            [
+                jnp.stack([-t * jnp.sin(heading), jnp.cos(heading), z], -1),
+                jnp.stack([t * jnp.cos(heading), jnp.sin(heading), z], -1),
+                jnp.stack([one, z, one], -1),
+            ],
+            axis=-2,
+        )
+
+    def cov_noise_control_space(self, u):
+        a1, a2, a3, a4 = (self.alphas[..., k] for k in range(4))
+        r1, t, r2 = u[..., 0], u[..., 1], u[..., 2]
+        v = jnp.stack(
+            [
+                a1 * r1**2 + a2 * t**2,
+                a3 * t**2 + a4 * (r1**2 + r2**2),
+                a1 * r2**2 + a2 * t**2,
+            ],
+            axis=-1,
+        )
+        return jax.vmap(jnp.diag)(v) if v.ndim > 1 else jnp.diag(v)
+
+    def sample(self, key, x, u, dt):
+        """Noisy odometry step for particle filters."""
+        std = jnp.sqrt(
+            jnp.clip(jnp.diagonal(self.cov_noise_control_space(u)), 1e-20,
+                     None)
+        )
+        noise = jax.random.normal(key, u.shape, dtype=x.dtype) * std
+        return self.prediction(x, u + noise, dt)

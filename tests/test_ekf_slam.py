@@ -159,3 +159,32 @@ def test_ekf_slam_unknown_correspondences():
     d = np.linalg.norm(est[:, None, :] - lms[None, :, :], axis=-1)
     assert (d.min(axis=1) < 0.25).all(), d.min(axis=1)
     assert len(set(d.argmin(axis=1))) == num_landmarks  # one track per lm
+
+
+def test_slam_course_ekf_slam():
+    """Full pipeline on the bundled slam_course dataset: odometry motion
+    model + range-bearing EKF-SLAM recovers the world.dat landmark map.
+    The reference only parses this dataset (slam_course.rs) — its EKF-SLAM
+    is an empty file and it has no odometry motion model at all."""
+    from rustrobotics_tpu.data.slam_course import load_slam_course
+    from rustrobotics_tpu.mapping.slam_replay import (
+        landmark_map_error,
+        run_slam_course,
+    )
+
+    import pathlib
+
+    base = pathlib.Path("/root/reference/dataset/slam_course")
+    if not base.exists():
+        import pytest
+
+        pytest.skip("slam_course dataset not mounted")
+    ds = load_slam_course(base)
+    traj, state = run_slam_course(ds)
+    mx, mean, nseen = landmark_map_error(ds, state)
+    assert nseen == 9
+    assert mean < 0.4, (mean, mx)
+    assert mx < 0.8, mx
+    # covariance stays symmetric
+    cov = np.asarray(state.cov)
+    np.testing.assert_allclose(cov, cov.T, atol=1e-4)

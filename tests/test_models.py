@@ -125,3 +125,26 @@ def test_models_vmap_over_particles():
     assert out.shape == (128, 3)
     ref0 = VEL.prediction(xs[0], u, 0.1)
     np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref0), rtol=1e-12)
+
+
+def test_odometry_motion_model_jacobians():
+    """OdometryMotionModel (rot1-trans-rot2, PR ch. 5.4): analytic
+    Jacobians match autodiff; noise covariance is PSD diagonal."""
+    import jax
+
+    from rustrobotics_tpu.models.motion import OdometryMotionModel
+
+    m = OdometryMotionModel.create([0.05, 0.01, 0.02, 0.01])
+    x = jnp.array([1.0, -2.0, 0.7])
+    u = jnp.array([0.1, 1.5, -0.2])
+    g = m.jacobian_wrt_state(x, u, 0.0)
+    g_ad = jax.jacfwd(lambda xx: m.prediction(xx, u, 0.0))(x)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ad), atol=1e-9)
+    v = m.jacobian_wrt_input(x, u, 0.0)
+    v_ad = jax.jacfwd(lambda uu: m.prediction(x, uu, 0.0))(u)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(v_ad), atol=1e-9)
+    cov = np.asarray(m.cov_noise_control_space(u))
+    assert (np.diag(cov) > 0).all() and np.allclose(cov, np.diag(np.diag(cov)))
+    # sample() stays near the deterministic prediction for tiny noise
+    s = m.sample(jax.random.key(0), x, u, 0.0)
+    assert np.linalg.norm(np.asarray(s - m.prediction(x, u, 0.0))) < 0.5
