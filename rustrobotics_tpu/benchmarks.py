@@ -115,6 +115,45 @@ def bench_pf_update(results):
     })
 
 
+def bench_pf_scale(results, num_particles=262144, steps=50):
+    """Large-particle SIR filter: propagate + weight + systematic resample
+    for 256k particles per step, chained in one jitted scan — the
+    embarrassingly-parallel TPU number (the reference iterates particles
+    serially, particle_filter.rs:90-106)."""
+    from rustrobotics_tpu.localization.pf import ParticleFilter
+    from rustrobotics_tpu.models import (
+        SimpleProblemMeasurementModel,
+        SimpleProblemMotionModel,
+    )
+
+    r = jnp.diag(jnp.array([0.2, 0.2, jnp.deg2rad(3.0), 0.1],
+                           jnp.float32)) ** 2
+    q = jnp.diag(jnp.array([0.4, 0.4], jnp.float32)) ** 2
+    pf = ParticleFilter(
+        r=r, q=q, motion_model=SimpleProblemMotionModel(),
+        measurement_model=SimpleProblemMeasurementModel(),
+    )
+    u = jnp.array([1.0, 0.1], jnp.float32)
+    z = jnp.array([0.3, 0.2], jnp.float32)
+    particles0 = jax.random.normal(
+        jax.random.key(0), (num_particles, 4), jnp.float32
+    )
+
+    @jax.jit
+    def chained(p0):
+        def body(carry, k):
+            return pf.step(k, carry, u, z, 0.1), None
+        keys = jax.random.split(jax.random.key(1), steps)
+        return jax.lax.scan(body, p0, keys)[0]
+
+    t = _bench(chained, particles0, repeats=6)
+    results.append({
+        "metric": "pf_particle_throughput",
+        "value": round(num_particles * steps / t / 1e9, 3),
+        "unit": "Gparticle-steps/s",
+    })
+
+
 def bench_graph_slam(results, dataset_root="/root/reference/dataset"):
     import os
 
@@ -139,6 +178,7 @@ def run_suite():
     results = []
     bench_filter_updates(results)
     bench_pf_update(results)
+    bench_pf_scale(results)
     bench_graph_slam(results)
     for r in results:
         r["device"] = jax.devices()[0].platform

@@ -79,8 +79,12 @@ def make_sharded_pf_step(mesh, pf, num_particles: int):
         wall = jax.lax.all_gather(w, axis).reshape(num_particles)
         cum = jnp.cumsum(wall)
         del k_draw, offset  # draws are global; offset retained for clarity
-        idx = jnp.clip(jnp.searchsorted(cum, draws, side="left"), 0,
-                       num_particles - 1)
+        # sort-based co-ranking: draws are sorted by construction and the
+        # binary-search lowering is ~log2(N) serial gather rounds on TPU
+        idx = jnp.clip(
+            jnp.searchsorted(cum, draws, side="left", method="sort"),
+            0, num_particles - 1,
+        )
         return cloud[idx]
 
     return jax.jit(step)
