@@ -158,11 +158,33 @@ def cmd_slam(args):
 
     base = args.dataset or (_dataset_root() + "/slam_course")
     ds = load_slam_course(base)
-    traj, state = run_slam_course(ds)
-    mx, mean, nseen = landmark_map_error(ds, state)
-    print(f"EKF-SLAM over {traj.shape[0]} steps: {nseen}/"
-          f"{len(ds.landmark_ids)} landmarks mapped, "
-          f"map error mean {mean:.3f} m / max {mx:.3f} m")
+    if args.method == "pgo":
+        import jax.numpy as jnp
+
+        from rustrobotics_tpu.mapping.frontend import (
+            build_pose_graph_from_slam_course,
+        )
+        from rustrobotics_tpu.mapping.pgo import optimize
+
+        g = build_pose_graph_from_slam_course(ds)
+        res = optimize(g, num_iterations=30, solver="levenberg_marquardt",
+                       backend="banded-direct", log=True)
+        traj = np.asarray(res.graph.poses2)
+        est_lms = np.asarray(res.graph.landmarks2)
+        err = np.linalg.norm(est_lms - np.asarray(ds.landmarks), axis=-1)
+        print(f"graph SLAM: chi2 {res.errors[0]:.1f} -> {res.errors[-1]:.1f}"
+              f", map error mean {err.mean():.3f} m / max {err.max():.3f} m")
+
+        class _S:  # plotting shim matching EkfSlamState's fields
+            landmarks = jnp.asarray(est_lms)
+
+        state = _S()
+    else:
+        traj, state = run_slam_course(ds)
+        mx, mean, nseen = landmark_map_error(ds, state)
+        print(f"EKF-SLAM over {traj.shape[0]} steps: {nseen}/"
+              f"{len(ds.landmark_ids)} landmarks mapped, "
+              f"map error mean {mean:.3f} m / max {mx:.3f} m")
     if args.plot:
         import matplotlib
 
@@ -243,9 +265,11 @@ def main(argv=None):
     sp.add_argument("--plot", default=None)
     sp.set_defaults(fn=cmd_pendulum)
 
-    sp = sub.add_parser("slam", help="EKF-SLAM on the slam_course dataset")
+    sp = sub.add_parser("slam", help="SLAM on the slam_course dataset")
     common(sp)
     sp.add_argument("--dataset", default=None, help="slam_course directory")
+    sp.add_argument("--method", choices=["ekf", "pgo"], default="ekf",
+                    help="online EKF-SLAM or batch graph SLAM")
     sp.add_argument("--plot", default=None, help="output PNG path")
     sp.set_defaults(fn=cmd_slam)
 

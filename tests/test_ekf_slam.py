@@ -188,3 +188,34 @@ def test_slam_course_ekf_slam():
     # covariance stays symmetric
     cov = np.asarray(state.cov)
     np.testing.assert_allclose(cov, cov.T, atol=1e-4)
+
+
+def test_slam_course_graph_slam_frontend():
+    """Front-end: raw slam_course log -> pose graph -> LM optimization.
+    The reference has no front-end at all (its PGO only reads g2o files).
+    Batch graph SLAM should match or beat the online EKF-SLAM map."""
+    import pathlib
+
+    import jax.numpy as jnp
+
+    from rustrobotics_tpu.data.slam_course import load_slam_course
+    from rustrobotics_tpu.mapping.frontend import (
+        build_pose_graph_from_slam_course,
+    )
+    from rustrobotics_tpu.mapping.pgo import optimize
+
+    base = pathlib.Path("/root/reference/dataset/slam_course")
+    if not base.exists():
+        import pytest
+
+        pytest.skip("slam_course dataset not mounted")
+    ds = load_slam_course(base)
+    g = build_pose_graph_from_slam_course(ds, dtype=jnp.float64)
+    assert g.num_nodes == 341 and g.landmarks2.shape[0] == 9
+    res = optimize(g, num_iterations=30, solver="levenberg_marquardt",
+                   backend="banded-direct")
+    assert res.errors[-1] < res.errors[0] / 2
+    est = np.asarray(res.graph.landmarks2)
+    err = np.linalg.norm(est - np.asarray(ds.landmarks), axis=-1)
+    assert err.mean() < 0.3, err
+    assert err.max() < 0.5, err
