@@ -78,7 +78,7 @@ def test_parking_garage_f32_lm_nan_safe(dataset_dir):
     # 30 iterations: enough for the lambda ramp (~14 rejects) plus real
     # progress; full convergence to the f64 anchor (<2.0 after 100 iters)
     # is exercised on TPU via the verify drive to keep CPU CI time down.
-    run = make_optimize_jit(g, num_iterations=30, backend="dense",
+    run = make_optimize_jit(g, num_iterations=30, backend="banded-direct",
                             tolerance=1e-4, solver="lm")
     out, errors, _ = run(g)
     final = float(global_error(out))
