@@ -252,7 +252,8 @@ def main(argv=None):
     sp.add_argument("--solver", choices=["gn", "lm"], default="gn")
     sp.add_argument(
         "--backend", default="host",
-        choices=["host", "native", "dense", "schur", "cg", "banded-direct"],
+        choices=["auto", "host", "native", "dense", "schur", "cg",
+                 "banded-direct"],
     )
     sp.add_argument("--iterations", type=int, default=50)
     sp.add_argument("--plot", default=None, help="output directory for PNGs")

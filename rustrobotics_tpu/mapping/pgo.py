@@ -86,6 +86,8 @@ def optimize(
     layout = build_layout(graph)
     dtype = graph.poses2.dtype if graph.poses2.size else graph.poses3.dtype
     values_fn = jax.jit(partial(system_values, prior_weight=prior_weight))
+    if backend == "auto":
+        backend = "banded-direct"
     if backend == "banded-direct":
         banded = solvers.make_banded_direct(layout)
         if banded is None:
@@ -158,6 +160,10 @@ def make_optimize_jit(
         else graph_template.poses3.dtype
     )
 
+    if backend == "auto":
+        # banded direct when the RCM bandwidth permits (every bundled
+        # dataset), dense Cholesky otherwise
+        backend = "banded-direct"
     if backend == "dense":
         def solve(vals, b):
             return solvers.solve_dense(layout, vals, b)
