@@ -7,9 +7,12 @@ weights from per-particle measurement likelihood (pf.rs:96-106), and three
 selectable resampling schemes (pf.rs:14-18).
 
 TPU-first: the particle cloud is one (N, S) array; propagation, weighting,
-and resampling are fused array ops. Resampling is cumsum + searchsorted
-(O(N log N) fully parallel) instead of the reference's sort-and-merge scan
-(pf.rs:329-357). Weights are carried in log space for numerical range.
+and resampling are fused array ops. Systematic resampling uses the
+closed-form inverse CDF (scatter + cummax, no search at all); stratified/
+multinomial use sort-based co-ranking — never the binary-search
+``searchsorted``, whose ~log2(N) serial gather rounds dominate a large
+particle step on TPU. Weights are carried in log space for numerical
+range.
 """
 
 from __future__ import annotations

@@ -92,7 +92,6 @@ def build_pose_graph_from_slam_course(
 
     f32 = lambda a: jnp.asarray(a, dtype)  # noqa: E731
     i32 = lambda a: jnp.asarray(np.asarray(a, np.int32))  # noqa: E731
-    empty_f = jnp.zeros((0,), dtype)
     return PoseGraphData(
         poses2=f32(poses),
         landmarks2=f32(lm_init),

@@ -30,7 +30,6 @@ from rustrobotics_tpu.mapping.assemble import (
     PRIOR_WEIGHT,
     apply_update_jit,
     build_layout,
-    dense_hessian,
     system_values,
 )
 from rustrobotics_tpu.mapping.g2o import PoseGraphData, load_g2o

@@ -11,7 +11,6 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-from rustrobotics_tpu.geometry import se2 as _se2
 from rustrobotics_tpu.mapping.g2o import PoseGraphData
 
 
