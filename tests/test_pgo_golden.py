@@ -220,3 +220,40 @@ def test_m3500_converges(dataset_dir):
     res = optimize(g, num_iterations=10, backend="banded-direct")
     assert res.errors[0] > 2.5e6
     assert res.errors[-1] < 138.5, res.errors[-1]
+
+
+def test_vmapped_batch_optimization():
+    """Batched PGO: the jitted optimizer is a pure function of the graph
+    pytree, so jax.vmap optimizes a BATCH of same-topology graphs (e.g.
+    Monte-Carlo noise studies) in one program — no reference counterpart.
+    Each lane must match its own single-graph optimization."""
+    import jax
+    import jax.numpy as jnp
+
+    from rustrobotics_tpu.mapping.pgo import make_optimize_jit
+    from rustrobotics_tpu.mapping.synthetic import synthetic_pose_graph_2d
+
+    graph = synthetic_pose_graph_2d(num_poses=48, num_landmarks=6,
+                                    dtype=jnp.float32)
+
+    def perturb(k):
+        k1, k2 = jax.random.split(k)
+        return graph.replace(
+            pp_z=graph.pp_z + jax.random.normal(
+                k1, graph.pp_z.shape, jnp.float32) * 0.01,
+            pl_z=graph.pl_z + jax.random.normal(
+                k2, graph.pl_z.shape, jnp.float32) * 0.01,
+        )
+
+    graphs = jax.vmap(perturb)(jax.random.split(jax.random.key(0), 4))
+    run = make_optimize_jit(graph, num_iterations=8, backend="dense",
+                            tolerance=0.0)
+    _, batch_errors, _ = jax.vmap(run)(graphs)
+    for i in range(4):
+        g_i = jax.tree.map(lambda a: a[i], graphs)
+        _, errors_i, _ = run(g_i)
+        np.testing.assert_allclose(
+            np.asarray(batch_errors[i]), np.asarray(errors_i), rtol=1e-4
+        )
+    assert (np.asarray(batch_errors[:, -1])
+            < np.asarray(batch_errors[:, 0])).all()
