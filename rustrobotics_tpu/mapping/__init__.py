@@ -17,6 +17,17 @@ Pose-graph optimization re-designed TPU-first:
   pose_graph_optimization.rs:357)
 """
 
+from rustrobotics_tpu.mapping.ekf_slam import (  # noqa: F401
+    EkfSlamKnownCorrespondences,
+    EkfSlamState,
+)
+from rustrobotics_tpu.mapping.fixed_lag import (  # noqa: F401
+    FixedLagSmoother,
+    FixedLagState,
+)
+from rustrobotics_tpu.mapping.frontend import (  # noqa: F401
+    build_pose_graph_from_slam_course,
+)
 from rustrobotics_tpu.mapping.g2o import load_g2o, PoseGraphData  # noqa: F401
 from rustrobotics_tpu.mapping.pgo import (  # noqa: F401
     PoseGraph,
