@@ -318,3 +318,24 @@ class PoseGraph:
         self.data = result.graph
         self.iteration += result.iterations
         return result.errors
+
+
+def marginal_variances(graph: PoseGraphData):
+    """Per-dof marginal variances diag(H^-1) at the current estimates —
+    the pose/landmark uncertainty output (no reference counterpart; its
+    solver never exposes covariance). Computed by selected inversion of
+    the banded factorization, O(n * bw^2); falls back to a dense inverse
+    when the RCM bandwidth is too large."""
+    from rustrobotics_tpu.ops.band_chol import (
+        build_band_chol,
+        marginal_covariances,
+    )
+
+    layout = build_layout(graph)
+    dtype = graph.poses2.dtype if graph.poses2.size else graph.poses3.dtype
+    vals, _, _ = system_values(graph, jnp.asarray(0.0, dtype))
+    bl = build_band_chol(layout)
+    if bl is not None:
+        return marginal_covariances(bl, vals)
+    h = solvers.dense_hessian(layout, vals)
+    return jnp.diagonal(jnp.linalg.inv(h))

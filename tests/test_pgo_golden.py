@@ -257,3 +257,34 @@ def test_vmapped_batch_optimization():
         )
     assert (np.asarray(batch_errors[:, -1])
             < np.asarray(batch_errors[:, 0])).all()
+
+
+def test_marginal_variances(dataset_dir):
+    """Selected inversion of the banded factorization reproduces
+    diag(H^-1), and uncertainty grows along the chain away from the
+    gauge-anchored first pose."""
+    import jax.numpy as jnp
+
+    from rustrobotics_tpu.mapping.pgo import marginal_variances, optimize
+
+    g = load_g2o(dataset_dir / "g2o" / "simulation-pose-landmark.g2o")
+    res = optimize(g, num_iterations=10, backend="banded-direct")
+    var = np.asarray(marginal_variances(res.graph))
+    assert var.shape == (res.graph.total_dof,)
+    assert (var > 0).all()
+
+    # parity with the dense inverse
+    import scipy.sparse as sp
+
+    from rustrobotics_tpu.mapping.assemble import build_layout, system_values
+
+    lay = build_layout(res.graph)
+    vals, _, _ = system_values(res.graph, jnp.float64(0.0))
+    h = sp.coo_matrix(
+        (np.asarray(vals), (lay.rows, lay.cols)), shape=(lay.n, lay.n)
+    ).toarray()
+    ref = np.diag(np.linalg.inv(h))
+    assert np.abs(var - ref).max() / np.abs(ref).max() < 1e-8
+    # the gauge-anchored pose (prior2's dof block) is the most certain
+    off = int(np.asarray(res.graph.pose2_offsets)[res.graph.prior2])
+    assert var[off:off + 3].max() < np.median(var)
