@@ -108,6 +108,10 @@ def cmd_pgo(args):
         args.solver, args.solver
     )
     graph = PoseGraph(path, solver=solver)
+    if getattr(args, "init", None) == "chordal":
+        from rustrobotics_tpu.mapping.initialization import chordal_init_se2
+
+        graph.data = chordal_init_se2(graph.data)
     if args.plot:
         os.makedirs(args.plot, exist_ok=True)
     errors = graph.optimize(
@@ -256,6 +260,8 @@ def main(argv=None):
                  "banded-direct"],
     )
     sp.add_argument("--iterations", type=int, default=50)
+    sp.add_argument("--init", choices=["none", "chordal"], default="none",
+                    help="bootstrap initialization before optimizing")
     sp.add_argument("--plot", default=None, help="output directory for PNGs")
     sp.set_defaults(fn=cmd_pgo)
 

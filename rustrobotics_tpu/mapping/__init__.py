@@ -29,6 +29,9 @@ from rustrobotics_tpu.mapping.frontend import (  # noqa: F401
     build_pose_graph_from_slam_course,
 )
 from rustrobotics_tpu.mapping.g2o import load_g2o, PoseGraphData  # noqa: F401
+from rustrobotics_tpu.mapping.initialization import (  # noqa: F401
+    chordal_init_se2,
+)
 from rustrobotics_tpu.mapping.pgo import (  # noqa: F401
     PoseGraph,
     global_error,

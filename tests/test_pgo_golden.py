@@ -288,3 +288,23 @@ def test_marginal_variances(dataset_dir):
     # the gauge-anchored pose (prior2's dof block) is the most certain
     off = int(np.asarray(res.graph.pose2_offsets)[res.graph.prior2])
     assert var[off:off + 3].max() < np.median(var)
+
+
+def test_chordal_initialization_rescues_bad_init(dataset_dir):
+    """Zeroed poses trap GN in a local minimum (chi2 stalls at ~15k on
+    intel); chordal rotation averaging + linear translation recovery
+    restart it to the global optimum. No reference counterpart."""
+    import jax.numpy as jnp
+
+    from rustrobotics_tpu.mapping.initialization import chordal_init_se2
+    from rustrobotics_tpu.mapping.pgo import global_error, optimize
+
+    g = load_g2o(dataset_dir / "g2o" / "intel.g2o")
+    g0 = g.replace(poses2=jnp.zeros_like(g.poses2))
+    stuck = optimize(g0, num_iterations=30, backend="banded-direct")
+    assert stuck.errors[-1] > 5000.0  # local minimum without init
+
+    gc = chordal_init_se2(g0)
+    assert float(global_error(gc)) < 1000.0  # init alone is near-optimal
+    res = optimize(gc, num_iterations=30, backend="banded-direct")
+    assert abs(res.errors[-1] - 360.0) <= 1.0, res.errors[-1]
