@@ -109,9 +109,13 @@ def cmd_pgo(args):
     )
     graph = PoseGraph(path, solver=solver)
     if getattr(args, "init", None) == "chordal":
-        from rustrobotics_tpu.mapping.initialization import chordal_init_se2
+        from rustrobotics_tpu.mapping.initialization import (
+            chordal_init_se2,
+            chordal_init_se3,
+        )
 
-        graph.data = chordal_init_se2(graph.data)
+        init = chordal_init_se3 if graph.data.is_3d else chordal_init_se2
+        graph.data = init(graph.data)
     if args.plot:
         os.makedirs(args.plot, exist_ok=True)
     errors = graph.optimize(

@@ -31,6 +31,7 @@ from rustrobotics_tpu.mapping.frontend import (  # noqa: F401
 from rustrobotics_tpu.mapping.g2o import load_g2o, PoseGraphData  # noqa: F401
 from rustrobotics_tpu.mapping.initialization import (  # noqa: F401
     chordal_init_se2,
+    chordal_init_se3,
 )
 from rustrobotics_tpu.mapping.pgo import (  # noqa: F401
     PoseGraph,

@@ -125,3 +125,25 @@ def test_torus3D_lm_descends(dataset_dir):
                    backend="banded-direct")
     assert res.errors[0] > 3.9e6
     assert res.errors[-1] < res.errors[0] / 10.0, res.errors[-1]
+
+
+def test_chordal_init_se3_rescues_wrecked_sphere(dataset_dir):
+    """SE3 chordal initialization (row-decoupled rotation averaging + SVD
+    projection + linear translation recovery): from identity-initialized
+    sphere2500 poses, init + LM reaches the same optimum as from the file
+    initialization (1351)."""
+    import jax.numpy as jnp
+
+    from rustrobotics_tpu.mapping.initialization import chordal_init_se3
+    from rustrobotics_tpu.mapping.pgo import global_error, optimize
+
+    g = load_g2o(dataset_dir / "g2o" / "sphere2500.g2o")
+    n = g.poses3.shape[0]
+    g0 = g.replace(poses3=jnp.concatenate(
+        [jnp.zeros((n, 3)),
+         jnp.broadcast_to(jnp.asarray([1.0, 0, 0, 0]), (n, 4))], axis=1))
+    gc = chordal_init_se3(g0)
+    assert float(global_error(gc)) < 5000.0  # init alone is near-optimal
+    res = optimize(gc, num_iterations=30, solver="levenberg_marquardt",
+                   backend="banded-direct")
+    assert abs(res.errors[-1] - 1351.36) < 5.0, res.errors[-1]
