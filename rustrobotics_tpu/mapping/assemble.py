@@ -220,19 +220,43 @@ def _quad_blocks(e, a, b, omega):
     return h_ii, h_ij, h_ji, h_jj, b_i, b_j
 
 
+def _scale_c(hxx, w):
+    """Scale a component (SoA) matrix by a per-edge weight."""
+    return [[hxx[k][l] * w for l in range(len(hxx[0]))]
+            for k in range(len(hxx))]
+
+
 def _em(blocks):
     """Entry-major flatten of (E, nr, nc) blocks — see _block_indices."""
     return jnp.transpose(blocks, (1, 2, 0)).ravel()
 
 
-def system_values(graph: PoseGraphData, lam, prior_weight=PRIOR_WEIGHT):
+ROBUST_KERNELS = {
+    # weight(chi2) for iteratively-reweighted least squares; chi2 is the
+    # edge's squared Mahalanobis error
+    "huber": lambda c2, d: jnp.minimum(1.0, d / jnp.sqrt(jnp.clip(c2, 1e-20, None))),
+    "cauchy": lambda c2, d: 1.0 / (1.0 + c2 / (d * d)),
+}
+
+
+def system_values(graph: PoseGraphData, lam, prior_weight=PRIOR_WEIGHT,
+                  robust=None, robust_delta=1.0):
     """Jittable: flat triplet values (aligned with build_layout) + RHS b
-    (already negated, rs:361) + total chi2 error."""
+    (already negated, rs:361) + total chi2 error.
+
+    ``robust``: optional M-estimator ("huber"/"cauchy") — every edge's
+    normal-equation contribution is scaled by the IRLS weight of its
+    current squared error, so gross outlier constraints (wrong loop
+    closures) stop dominating the solve. The returned chi2 stays the RAW
+    quadratic error for trace comparability. No reference counterpart.
+    """
     dtype = graph.poses2.dtype if graph.poses2.size else graph.poses3.dtype
     n = graph.total_dof
     bvec = jnp.zeros(n, dtype=dtype)
     vals = []
     chi2 = jnp.zeros((), dtype=dtype)
+    rw = (lambda c2: ROBUST_KERNELS[robust](c2, robust_delta)) if robust \
+        else (lambda c2: jnp.ones_like(c2))
 
     def flat(hxx):
         # entry-major flatten of a component matrix (matches _block_indices)
@@ -247,6 +271,10 @@ def system_values(graph: PoseGraphData, lam, prior_weight=PRIOR_WEIGHT):
             graph.poses2, graph.pp_from, graph.pp_to, graph.pp_z,
             graph.pp_omega,
         )
+    w = rw(c2)
+    hii, hij, hjj = _scale_c(hii, w), _scale_c(hij, w), _scale_c(hjj, w)
+    b_i = [bi * w for bi in b_i]
+    b_j = [bj * w for bj in b_j]
     vals += flat(hii) + flat(hij) + flat(transpose_c(hij)) + flat(hjj)
     off_i = graph.pose2_offsets[graph.pp_from]
     off_j = graph.pose2_offsets[graph.pp_to]
@@ -260,6 +288,10 @@ def system_values(graph: PoseGraphData, lam, prior_weight=PRIOR_WEIGHT):
             graph.poses2, graph.landmarks2,
             graph.pl_pose, graph.pl_lm, graph.pl_z, graph.pl_omega,
         )
+    w = rw(c2)
+    hii, hij, hjj = _scale_c(hii, w), _scale_c(hij, w), _scale_c(hjj, w)
+    b_i = [bi * w for bi in b_i]
+    b_j = [bj * w for bj in b_j]
     vals += flat(hii) + flat(hij) + flat(transpose_c(hij)) + flat(hjj)
     off_i = graph.pose2_offsets[graph.pl_pose]
     off_j = graph.lm2_offsets[graph.pl_lm]
@@ -273,6 +305,10 @@ def system_values(graph: PoseGraphData, lam, prior_weight=PRIOR_WEIGHT):
         graph.poses3, graph.qq_from, graph.qq_to, graph.qq_z, graph.qq_omega
     )
     h_ii, h_ij, h_ji, h_jj, b_i, b_j = _quad_blocks(e, a, b, graph.qq_omega)
+    w = rw(c2)[:, None, None]
+    h_ii, h_ij, h_ji, h_jj = (h_ii * w, h_ij * w, h_ji * w, h_jj * w)
+    b_i = b_i * w[:, :, 0]
+    b_j = b_j * w[:, :, 0]
     vals += [_em(h_ii), _em(h_ij), _em(h_ji), _em(h_jj)]
     off_i = graph.pose3_offsets[graph.qq_from]
     off_j = graph.pose3_offsets[graph.qq_to]
@@ -296,7 +332,9 @@ def system_values(graph: PoseGraphData, lam, prior_weight=PRIOR_WEIGHT):
     return jnp.concatenate(vals), -bvec, chi2
 
 
-system_values_jit = jax.jit(system_values, static_argnames=("prior_weight",))
+system_values_jit = jax.jit(
+    system_values, static_argnames=("prior_weight", "robust", "robust_delta")
+)
 
 
 def dense_hessian(layout: SystemLayout, vals, dtype=None):

@@ -78,13 +78,18 @@ def optimize(
     backend: str = "host",
     tolerance: float = 1e-4,
     prior_weight: float = PRIOR_WEIGHT,
+    robust: str | None = None,
+    robust_delta: float = 1.0,
     log: bool = False,
     callback=None,
 ) -> OptimizeResult:
-    """Host-driven optimization loop (reference semantics, rs:247-303)."""
+    """Host-driven optimization loop (reference semantics, rs:247-303).
+    ``robust``/``robust_delta``: optional Huber/Cauchy IRLS reweighting of
+    outlier edges (see assemble.system_values)."""
     layout = build_layout(graph)
     dtype = graph.poses2.dtype if graph.poses2.size else graph.poses3.dtype
-    values_fn = jax.jit(partial(system_values, prior_weight=prior_weight))
+    values_fn = jax.jit(partial(system_values, prior_weight=prior_weight,
+                                robust=robust, robust_delta=robust_delta))
     if backend == "auto":
         backend = "banded-direct"
     if backend == "banded-direct":
@@ -145,6 +150,8 @@ def make_optimize_jit(
     backend: str = "dense",
     tolerance: float = 1e-4,
     prior_weight: float = PRIOR_WEIGHT,
+    robust: str | None = None,
+    robust_delta: float = 1.0,
     cg_tol: float = 1e-10,
     cg_maxiter: int | None = None,
 ):
@@ -216,7 +223,9 @@ def make_optimize_jit(
         def step_lm(state):
             nodes, lam, last_error, it, norm_dx, errors = state
             g = with_nodes(nodes)
-            vals, b, _ = system_values(g, lam, prior_weight)
+            vals, b, _ = system_values(g, lam, prior_weight,
+                                       robust=robust,
+                                       robust_delta=robust_delta)
             dx = solve(vals, b)
             new_g = apply_update(g, dx)
             norm_dx = jnp.linalg.norm(dx)
@@ -245,7 +254,8 @@ def make_optimize_jit(
             nodes, lam, last_error, it, norm_dx, errors = state
             g = with_nodes(nodes)
             vals, b, chi2 = system_values(
-                g, jnp.asarray(0.0, dtype), prior_weight
+                g, jnp.asarray(0.0, dtype), prior_weight,
+                robust=robust, robust_delta=robust_delta,
             )
             errors = errors.at[it].set(chi2)
             dx = solve(vals, b)

@@ -308,3 +308,41 @@ def test_chordal_initialization_rescues_bad_init(dataset_dir):
     assert float(global_error(gc)) < 1000.0  # init alone is near-optimal
     res = optimize(gc, num_iterations=30, backend="banded-direct")
     assert abs(res.errors[-1] - 360.0) <= 1.0, res.errors[-1]
+
+
+def test_robust_kernel_rejects_outlier_closures(dataset_dir):
+    """30 gross outlier loop closures (high-information random edges)
+    destroy plain LM on intel (inlier chi2 explodes past 1e7); Cauchy
+    IRLS reweighting recovers the clean-graph optimum within ~2. The
+    reference has no robust kernels at all."""
+    import jax.numpy as jnp
+
+    from rustrobotics_tpu.mapping.pgo import global_error, optimize
+
+    g = load_g2o(dataset_dir / "g2o" / "intel.g2o")
+    rng = np.random.default_rng(0)
+    n_out = 30
+    frm = rng.integers(0, g.poses2.shape[0], n_out)
+    to = rng.integers(0, g.poses2.shape[0], n_out)
+    z_out = np.stack([rng.uniform(-20, 20, n_out),
+                      rng.uniform(-20, 20, n_out),
+                      rng.uniform(-3, 3, n_out)], -1)
+    om_out = np.broadcast_to(np.diag([100.0] * 3), (n_out, 3, 3))
+    gb = g.replace(
+        pp_from=jnp.concatenate([g.pp_from, jnp.asarray(frm, jnp.int32)]),
+        pp_to=jnp.concatenate([g.pp_to, jnp.asarray(to, jnp.int32)]),
+        pp_z=jnp.concatenate([g.pp_z, jnp.asarray(z_out, g.pp_z.dtype)]),
+        pp_omega=jnp.concatenate(
+            [g.pp_omega, jnp.asarray(om_out, g.pp_omega.dtype)]),
+    )
+
+    def inlier_chi2(res):
+        return float(global_error(g.replace(poses2=res.graph.poses2)))
+
+    plain = optimize(gb, num_iterations=30, solver="lm",
+                     backend="banded-direct")
+    robust = optimize(gb, num_iterations=40, solver="lm",
+                      backend="banded-direct", robust="cauchy",
+                      robust_delta=1.0)
+    assert inlier_chi2(plain) > 1e6  # destroyed without robustness
+    assert abs(inlier_chi2(robust) - 360.0) < 10.0, inlier_chi2(robust)
