@@ -121,6 +121,7 @@ def cmd_pgo(args):
     errors = graph.optimize(
         num_iterations=args.iterations, log=True, backend=args.backend,
         plot=bool(args.plot), out_dir=args.plot or "img",
+        robust=args.robust, robust_delta=args.robust_delta,
     )
     print(f"final error: {errors[-1]:.5f}")
 
@@ -266,6 +267,9 @@ def main(argv=None):
     sp.add_argument("--iterations", type=int, default=50)
     sp.add_argument("--init", choices=["none", "chordal"], default="none",
                     help="bootstrap initialization before optimizing")
+    sp.add_argument("--robust", choices=["huber", "cauchy"], default=None,
+                    help="M-estimator reweighting of outlier edges")
+    sp.add_argument("--robust-delta", type=float, default=1.0)
     sp.add_argument("--plot", default=None, help="output directory for PNGs")
     sp.set_defaults(fn=cmd_pgo)
 

@@ -305,7 +305,7 @@ class PoseGraph:
         return float(global_error(self.data))
 
     def optimize(self, num_iterations=50, log=False, plot=False, backend="host",
-                 out_dir="img"):
+                 out_dir="img", robust=None, robust_delta=1.0):
         callback = None
         if plot:
             from rustrobotics_tpu.utils.plot import plot_pose_graph
@@ -322,6 +322,8 @@ class PoseGraph:
             num_iterations=num_iterations,
             solver=self.solver,
             backend=backend,
+            robust=robust,
+            robust_delta=robust_delta,
             log=log,
             callback=callback,
         )
