@@ -21,6 +21,10 @@ from rustrobotics_tpu.mapping.ekf_slam import (  # noqa: F401
     EkfSlamKnownCorrespondences,
     EkfSlamState,
 )
+from rustrobotics_tpu.mapping.fastslam import (  # noqa: F401
+    FastSlam,
+    FastSlamParticles,
+)
 from rustrobotics_tpu.mapping.fixed_lag import (  # noqa: F401
     FixedLagSmoother,
     FixedLagState,

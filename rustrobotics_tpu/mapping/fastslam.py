@@ -1,0 +1,172 @@
+"""FastSLAM 1.0 with known correspondences (Probabilistic Robotics ch. 13).
+
+Rao-Blackwellized particle filter: each particle carries a robot pose
+hypothesis plus an independent EKF per landmark (conditioned on the
+particle's trajectory, landmarks decouple). A third SLAM family beyond
+EKF-SLAM and graph SLAM; the reference has none of the three.
+
+TPU shape: the particle cloud is a single pytree of batched arrays —
+poses (N, 3), landmark means (N, L, 2), covariances (N, L, 2, 2), seen
+flags (N, L) — so propagation, every per-landmark EKF update, weighting,
+and resampling are fused batched ops over the N axis (the reference-style
+per-particle loop would be N sequential tiny filters). A full session jits
+as one ``lax.scan``.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from rustrobotics_tpu.localization.pf import resample_systematic
+from rustrobotics_tpu.utils.angles import wrap_angle
+
+_INIT_LM_VAR = 1e6
+
+
+@flax.struct.dataclass
+class FastSlamParticles:
+    poses: jnp.ndarray    # (N, 3)
+    lm_mu: jnp.ndarray    # (N, L, 2)
+    lm_cov: jnp.ndarray   # (N, L, 2, 2)
+    seen: jnp.ndarray     # (N, L) bool
+
+
+@flax.struct.dataclass
+class FastSlam:
+    """q: (2, 2) range-bearing noise; motion_model must provide a noisy
+    ``sample`` (control-space noise drives particle diversity)."""
+
+    q: jnp.ndarray
+    motion_model: Any
+    max_landmarks: int = flax.struct.field(pytree_node=False)
+
+    @classmethod
+    def create(cls, q, motion_model, max_landmarks):
+        return cls(q=jnp.asarray(q), motion_model=motion_model,
+                   max_landmarks=max_landmarks)
+
+    def init_particles(self, key, pose0, num_particles,
+                       init_sigma=(0.0, 0.0, 0.0)) -> FastSlamParticles:
+        pose0 = jnp.asarray(pose0)
+        dtype = pose0.dtype
+        n, lmax = num_particles, self.max_landmarks
+        noise = jax.random.normal(key, (n, 3), dtype) * jnp.asarray(
+            init_sigma, dtype)
+        return FastSlamParticles(
+            poses=pose0 + noise,
+            lm_mu=jnp.zeros((n, lmax, 2), dtype),
+            lm_cov=jnp.broadcast_to(
+                jnp.eye(2, dtype=dtype) * _INIT_LM_VAR, (n, lmax, 2, 2)
+            ),
+            seen=jnp.zeros((n, lmax), bool),
+        )
+
+    # ------------------------------------------------------------ internals
+
+    def _z_pred_jac(self, poses, mu):
+        """Batched over particles: predicted range-bearing of landmark
+        mean mu (N, 2) from poses (N, 3), plus the (N, 2, 2) Jacobian
+        w.r.t. the LANDMARK position."""
+        dx = mu[:, 0] - poses[:, 0]
+        dy = mu[:, 1] - poses[:, 1]
+        q = jnp.clip(dx * dx + dy * dy, 1e-12, None)
+        qs = jnp.sqrt(q)
+        z_pred = jnp.stack([qs, jnp.arctan2(dy, dx) - poses[:, 2]], -1)
+        h = jnp.stack([
+            jnp.stack([dx / qs, dy / qs], -1),
+            jnp.stack([-dy / q, dx / q], -1),
+        ], -2)  # (N, 2, 2)
+        return z_pred, h
+
+    def _update_one(self, particles: FastSlamParticles, k, z, valid):
+        """One measurement of landmark slot k against EVERY particle:
+        per-particle 2x2 EKF update + likelihood weight. Returns
+        (particles, log-weights (N,))."""
+        poses = particles.poses
+        dtype = poses.dtype
+        n = poses.shape[0]
+        mu = particles.lm_mu[:, k]        # (N, 2)
+        cov = particles.lm_cov[:, k]      # (N, 2, 2)
+        seen = particles.seen[:, k]       # (N,)
+
+        # fresh init: inverse measurement from each particle's pose
+        rng_m, bearing = z[0], z[1]
+        theta = poses[:, 2]
+        init_mu = jnp.stack(
+            [poses[:, 0] + rng_m * jnp.cos(bearing + theta),
+             poses[:, 1] + rng_m * jnp.sin(bearing + theta)], -1)
+        fresh = jnp.logical_and(valid, jnp.logical_not(seen))
+        mu = jnp.where(fresh[:, None], init_mu, mu)
+
+        z_pred, h = self._z_pred_jac(poses, mu)
+        innov = jnp.stack(
+            [z[0] - z_pred[:, 0], wrap_angle(z[1] - z_pred[:, 1])], -1)
+        with jax.default_matmul_precision("highest"):
+            s = jnp.einsum("nij,njk,nlk->nil", h, cov, h) + self.q
+            s_inv = jnp.linalg.inv(s)
+            gain = jnp.einsum("nij,nkj,nkl->nil", cov, h, s_inv)
+            mu_new = mu + jnp.einsum("nij,nj->ni", gain, innov)
+            ikh = jnp.eye(2, dtype=dtype) - jnp.einsum(
+                "nij,njk->nik", gain, h)
+            cov_new = (
+                jnp.einsum("nij,njk,nlk->nil", ikh, cov, ikh)
+                + jnp.einsum("nij,jk,nlk->nil", gain, self.q, gain)
+            )
+            # measurement likelihood (log) per particle
+            det = s[:, 0, 0] * s[:, 1, 1] - s[:, 0, 1] * s[:, 1, 0]
+            maha = jnp.einsum("ni,nij,nj->n", innov, s_inv, innov)
+            logw = -0.5 * (maha + jnp.log(jnp.clip(det, 1e-20, None))
+                           + 2 * jnp.log(2 * jnp.pi))
+
+        particles = particles.replace(
+            lm_mu=particles.lm_mu.at[:, k].set(jnp.where(valid, mu_new, mu)),
+            lm_cov=particles.lm_cov.at[:, k].set(
+                jnp.where(valid, cov_new, cov)),
+            seen=particles.seen.at[:, k].set(jnp.logical_or(seen, valid)),
+        )
+        logw = jnp.where(jnp.logical_and(valid, jnp.logical_not(fresh)),
+                         logw, 0.0)
+        return particles, logw
+
+    # -------------------------------------------------------------- stepping
+
+    def step(self, key, particles: FastSlamParticles, u, has_control,
+             lm_idx, z, mask, dt) -> FastSlamParticles:
+        """One merged event: noisy motion sample + masked measurement
+        block (lm_idx (M,), z (M, 2), mask (M,)) + systematic resample."""
+        k_prop, k_resample = jax.random.split(key)
+        prop = self.motion_model.sample(k_prop, particles.poses, u, dt)
+        poses = jnp.where(has_control, prop, particles.poses)
+        particles = particles.replace(poses=poses)
+
+        def body(carry, inp):
+            parts, logw = carry
+            ki, zi, ok = inp
+            parts, lw = self._update_one(parts, ki, zi, ok)
+            return (parts, logw + lw), None
+
+        n = particles.poses.shape[0]
+        (particles, logw), _ = jax.lax.scan(
+            body, (particles, jnp.zeros(n, particles.poses.dtype)),
+            (lm_idx, z, mask),
+        )
+        w = jnp.exp(logw - jnp.max(logw))
+        any_meas = jnp.any(mask)
+        idx = resample_systematic(k_resample, w)
+        idx = jnp.where(any_meas, idx, jnp.arange(n))
+        return jax.tree.map(lambda a: a[idx], particles)
+
+    def estimate(self, particles: FastSlamParticles):
+        """Mean pose (angle via circular mean) and mean landmark map."""
+        poses = particles.poses
+        xy = jnp.mean(poses[:, :2], axis=0)
+        th = jnp.arctan2(jnp.mean(jnp.sin(poses[:, 2])),
+                         jnp.mean(jnp.cos(poses[:, 2])))
+        seen_any = particles.seen.any(axis=0)
+        cnt = jnp.clip(particles.seen.sum(axis=0), 1, None)
+        lm = (particles.lm_mu * particles.seen[..., None]).sum(0) / cnt[:, None]
+        return jnp.concatenate([xy, th[None]]), lm, seen_any

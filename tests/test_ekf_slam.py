@@ -219,3 +219,44 @@ def test_slam_course_graph_slam_frontend():
     err = np.linalg.norm(est - np.asarray(ds.landmarks), axis=-1)
     assert err.mean() < 0.3, err
     assert err.max() < 0.5, err
+
+
+def test_fastslam_recovers_map_and_trajectory():
+    """FastSLAM 1.0 (Rao-Blackwellized PF, PR ch. 13): a third SLAM
+    family beyond EKF-SLAM and graph SLAM — per-particle landmark EKFs
+    fully batched over the particle axis. Same simulated world oracle."""
+    import jax
+
+    from rustrobotics_tpu.mapping.fastslam import FastSlam
+
+    poses, lms, zs, ids, masks, u, dt = _simulate()
+    slam = FastSlam.create(
+        q=jnp.diag(jnp.asarray([0.03**2, 0.01**2], jnp.float32)),
+        motion_model=VelocityMotionModel.create(
+            jnp.asarray([0.01] * 4 + [0.002] * 2, jnp.float32)),
+        max_landmarks=lms.shape[0],
+    )
+    key = jax.random.key(0)
+    key, k0 = jax.random.split(key)
+    parts = slam.init_particles(
+        k0, jnp.asarray([3.0, 0.0, np.pi / 2], jnp.float32), 256)
+
+    @jax.jit
+    def run(parts, keys, zs, ids, masks):
+        def body(p, ev):
+            k, z, lm_idx, mask = ev
+            p = slam.step(k, p, jnp.asarray(u, jnp.float32),
+                          jnp.asarray(True), lm_idx, z, mask, dt)
+            return p, p.poses.mean(0)
+        return jax.lax.scan(body, parts, (keys, zs, ids, masks))
+
+    keys = jax.random.split(key, len(zs))
+    parts, traj = run(parts, keys, jnp.asarray(zs, jnp.float32),
+                      jnp.asarray(ids), jnp.asarray(masks))
+    traj = np.asarray(traj)
+    ate = np.sqrt(np.mean(np.sum((traj[:, :2] - poses[:, :2]) ** 2, -1)))
+    assert ate < 0.2, ate
+    est_pose, est_lm, seen = slam.estimate(parts)
+    assert int(np.asarray(seen).sum()) == lms.shape[0]
+    lm_err = np.linalg.norm(np.asarray(est_lm) - lms, axis=-1)
+    assert lm_err.max() < 0.3, lm_err
