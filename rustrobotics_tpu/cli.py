@@ -188,6 +188,23 @@ def cmd_slam(args):
             landmarks = jnp.asarray(est_lms)
 
         state = _S()
+    elif args.method == "fastslam":
+        import jax.numpy as jnp
+
+        from rustrobotics_tpu.mapping.slam_replay import (
+            run_slam_course_fastslam,
+        )
+
+        parts, est_lm, seen = run_slam_course_fastslam(ds)
+        err = np.linalg.norm(est_lm - np.asarray(ds.landmarks), axis=-1)
+        traj = np.asarray(parts.poses)
+        print(f"FastSLAM: {int(seen.sum())}/{len(ds.landmark_ids)} landmarks"
+              f", map error mean {err.mean():.3f} m / max {err.max():.3f} m")
+
+        class _S:
+            landmarks = jnp.asarray(est_lm)
+
+        state = _S()
     else:
         traj, state = run_slam_course(ds)
         mx, mean, nseen = landmark_map_error(ds, state)
@@ -283,8 +300,9 @@ def main(argv=None):
     sp = sub.add_parser("slam", help="SLAM on the slam_course dataset")
     common(sp)
     sp.add_argument("--dataset", default=None, help="slam_course directory")
-    sp.add_argument("--method", choices=["ekf", "pgo"], default="ekf",
-                    help="online EKF-SLAM or batch graph SLAM")
+    sp.add_argument("--method", choices=["ekf", "pgo", "fastslam"],
+                    default="ekf",
+                    help="online EKF-SLAM, batch graph SLAM, or FastSLAM")
     sp.add_argument("--plot", default=None, help="output PNG path")
     sp.set_defaults(fn=cmd_slam)
 

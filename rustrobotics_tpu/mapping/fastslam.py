@@ -33,6 +33,7 @@ class FastSlamParticles:
     lm_mu: jnp.ndarray    # (N, L, 2)
     lm_cov: jnp.ndarray   # (N, L, 2, 2)
     seen: jnp.ndarray     # (N, L) bool
+    logw: jnp.ndarray     # (N,) accumulated log-weights (ESS-gated resample)
 
 
 @flax.struct.dataclass
@@ -63,6 +64,7 @@ class FastSlam:
                 jnp.eye(2, dtype=dtype) * _INIT_LM_VAR, (n, lmax, 2, 2)
             ),
             seen=jnp.zeros((n, lmax), bool),
+            logw=jnp.zeros(n, dtype),
         )
 
     # ------------------------------------------------------------ internals
@@ -150,15 +152,24 @@ class FastSlam:
             return (parts, logw + lw), None
 
         n = particles.poses.shape[0]
-        (particles, logw), _ = jax.lax.scan(
+        (particles, logw_new), _ = jax.lax.scan(
             body, (particles, jnp.zeros(n, particles.poses.dtype)),
             (lm_idx, z, mask),
         )
+        # accumulate weights; resample only when the effective sample
+        # size drops below N/2 (per-step resampling depletes the cloud
+        # on measurement-dense logs)
+        logw = particles.logw + logw_new
         w = jnp.exp(logw - jnp.max(logw))
-        any_meas = jnp.any(mask)
+        wn = w / jnp.sum(w)
+        ess = 1.0 / jnp.sum(wn * wn)
+        do_resample = ess < 0.5 * n
         idx = resample_systematic(k_resample, w)
-        idx = jnp.where(any_meas, idx, jnp.arange(n))
-        return jax.tree.map(lambda a: a[idx], particles)
+        idx = jnp.where(do_resample, idx, jnp.arange(n))
+        particles = jax.tree.map(lambda a: a[idx], particles)
+        return particles.replace(
+            logw=jnp.where(do_resample, jnp.zeros_like(logw), logw)
+        )
 
     def estimate(self, particles: FastSlamParticles):
         """Mean pose (angle via circular mean) and mean landmark map."""

@@ -73,3 +73,45 @@ def landmark_map_error(dataset: SlamCourseDataset, state: EkfSlamState):
     true = np.asarray(dataset.landmarks)[seen]
     err = np.linalg.norm(est - true, axis=-1)
     return float(err.max()), float(err.mean()), int(seen.sum())
+
+
+def run_slam_course_fastslam(
+    dataset: SlamCourseDataset,
+    num_particles: int = 256,
+    alphas=(1e-4, 2e-5, 5e-5, 2e-5),
+    sensor_noise=(0.2, 0.1),
+    seed: int = 0,
+    dtype=jnp.float32,
+):
+    """FastSLAM 1.0 replay of the slam_course log (this log's odometry is
+    nearly noise-free, hence the small default alphas). Returns
+    (FastSlamParticles, estimated landmark map (L, 2), seen mask)."""
+    from rustrobotics_tpu.mapping.fastslam import FastSlam
+    from rustrobotics_tpu.models.motion import OdometryMotionModel
+
+    arr = dataset.arrays(dtype=np.dtype(dtype))
+    slots = np.searchsorted(dataset.landmark_ids, np.asarray(arr.meas_ids))
+    slots = jnp.asarray(
+        np.clip(slots, 0, len(dataset.landmark_ids) - 1), jnp.int32)
+    slam = FastSlam.create(
+        q=jnp.diag(jnp.asarray(sensor_noise, dtype) ** 2),
+        motion_model=OdometryMotionModel.create(jnp.asarray(alphas, dtype)),
+        max_landmarks=len(dataset.landmark_ids),
+    )
+    key = jax.random.key(seed)
+    key, k0 = jax.random.split(key)
+    parts = slam.init_particles(k0, jnp.zeros(3, dtype), num_particles)
+
+    @jax.jit
+    def run(parts, keys, odom, slots_, z, mask):
+        def body(p, ev):
+            k, u, si, zi, mi = ev
+            return slam.step(k, p, u, jnp.asarray(True), si, zi, mi,
+                             jnp.asarray(0.0, dtype)), None
+
+        return jax.lax.scan(body, parts, (keys, odom, slots_, z, mask))[0]
+
+    keys = jax.random.split(key, arr.odometry.shape[0])
+    parts = run(parts, keys, arr.odometry, slots, arr.meas_z, arr.meas_mask)
+    _, est_lm, seen = slam.estimate(parts)
+    return parts, np.asarray(est_lm), np.asarray(seen)
