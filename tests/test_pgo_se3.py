@@ -114,17 +114,19 @@ def test_host_lm_rejects_nan_trial(dataset_dir):
     assert res.errors[-1] < res.errors[0]
 
 
-def test_torus3D_lm_descends(dataset_dir):
-    """torus3D (n=30000, 3D) — beyond the reference's todo!(). Anchor:
-    LM drops chi2 3975103 -> ~322k within 8 iterations (full convergence
-    to ~60k takes ~50; kept short for CI)."""
+def test_torus3D_converges(dataset_dir):
+    """torus3D (n=30000, 3D) — beyond the reference's todo!(). Plain LM
+    from the file init stalls in a 59930 local minimum after 50
+    iterations; chordal initialization + LM converges to the global
+    optimum 24233 in ~11 iterations. Anchor: 24233 +- 5."""
+    from rustrobotics_tpu.mapping.initialization import chordal_init_se3
     from rustrobotics_tpu.mapping.pgo import optimize
 
     g = load_g2o(dataset_dir / "g2o" / "torus3D.g2o")
-    res = optimize(g, num_iterations=8, solver="levenberg_marquardt",
-                   backend="banded-direct")
-    assert res.errors[0] > 3.9e6
-    assert res.errors[-1] < res.errors[0] / 10.0, res.errors[-1]
+    gc = chordal_init_se3(g)
+    res = optimize(gc, num_iterations=15, solver="levenberg_marquardt",
+                   backend="banded-direct", tolerance=1e-5)
+    assert abs(res.errors[-1] - 24233.0) < 5.0, res.errors[-1]
 
 
 def test_chordal_init_se3_rescues_wrecked_sphere(dataset_dir):
