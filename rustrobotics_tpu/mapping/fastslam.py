@@ -172,12 +172,17 @@ class FastSlam:
         )
 
     def estimate(self, particles: FastSlamParticles):
-        """Mean pose (angle via circular mean) and mean landmark map."""
+        """Weighted mean pose (angle via circular mean) and landmark map —
+        weights are the carried log-weights (uniform right after an
+        ESS-triggered resample)."""
         poses = particles.poses
-        xy = jnp.mean(poses[:, :2], axis=0)
-        th = jnp.arctan2(jnp.mean(jnp.sin(poses[:, 2])),
-                         jnp.mean(jnp.cos(poses[:, 2])))
+        w = jnp.exp(particles.logw - jnp.max(particles.logw))
+        w = w / jnp.sum(w)
+        xy = jnp.einsum("n,ni->i", w, poses[:, :2])
+        th = jnp.arctan2(jnp.sum(w * jnp.sin(poses[:, 2])),
+                         jnp.sum(w * jnp.cos(poses[:, 2])))
         seen_any = particles.seen.any(axis=0)
-        cnt = jnp.clip(particles.seen.sum(axis=0), 1, None)
-        lm = (particles.lm_mu * particles.seen[..., None]).sum(0) / cnt[:, None]
+        wl = w[:, None] * particles.seen  # (N, L)
+        norm = jnp.clip(wl.sum(axis=0), 1e-20, None)
+        lm = jnp.einsum("nl,nli->li", wl, particles.lm_mu) / norm[:, None]
         return jnp.concatenate([xy, th[None]]), lm, seen_any
