@@ -94,6 +94,8 @@ class FastSlam:
         mu = particles.lm_mu[:, k]        # (N, 2)
         cov = particles.lm_cov[:, k]      # (N, 2, 2)
         seen = particles.seen[:, k]       # (N,)
+        # valid may be a scalar (shared mask) or per-particle (N,)
+        valid = jnp.broadcast_to(jnp.asarray(valid), (n,))
 
         # fresh init: inverse measurement from each particle's pose
         rng_m, bearing = z[0], z[1]
@@ -125,9 +127,10 @@ class FastSlam:
                            + 2 * jnp.log(2 * jnp.pi))
 
         particles = particles.replace(
-            lm_mu=particles.lm_mu.at[:, k].set(jnp.where(valid, mu_new, mu)),
+            lm_mu=particles.lm_mu.at[:, k].set(
+                jnp.where(valid[:, None], mu_new, mu)),
             lm_cov=particles.lm_cov.at[:, k].set(
-                jnp.where(valid, cov_new, cov)),
+                jnp.where(valid[:, None, None], cov_new, cov)),
             seen=particles.seen.at[:, k].set(jnp.logical_or(seen, valid)),
         )
         logw = jnp.where(jnp.logical_and(valid, jnp.logical_not(fresh)),
@@ -186,3 +189,103 @@ class FastSlam:
         norm = jnp.clip(wl.sum(axis=0), 1e-20, None)
         lm = jnp.einsum("nl,nli->li", wl, particles.lm_mu) / norm[:, None]
         return jnp.concatenate([xy, th[None]]), lm, seen_any
+
+
+def _per_slot_likelihood(slam: FastSlam, particles: FastSlamParticles, z):
+    """(N, L) log-likelihood of measurement z against EVERY landmark slot
+    of EVERY particle, and the per-slot innovation stats. Fully batched:
+    one (N, L, 2, 2) einsum chain, no loops."""
+    poses = particles.poses
+    n, lmax = particles.seen.shape
+    mu = particles.lm_mu                      # (N, L, 2)
+    dx = mu[..., 0] - poses[:, None, 0]
+    dy = mu[..., 1] - poses[:, None, 1]
+    q = jnp.clip(dx * dx + dy * dy, 1e-12, None)
+    qs = jnp.sqrt(q)
+    z_pred_r = qs
+    z_pred_b = jnp.arctan2(dy, dx) - poses[:, None, 2]
+    innov = jnp.stack(
+        [z[0] - z_pred_r, wrap_angle(z[1] - z_pred_b)], -1)  # (N, L, 2)
+    h = jnp.stack([
+        jnp.stack([dx / qs, dy / qs], -1),
+        jnp.stack([-dy / q, dx / q], -1),
+    ], -2)  # (N, L, 2, 2)
+    with jax.default_matmul_precision("highest"):
+        s = (jnp.einsum("nlij,nljk,nlmk->nlim", h, particles.lm_cov, h)
+             + slam.q)
+        s_inv = jnp.linalg.inv(s)
+        det = s[..., 0, 0] * s[..., 1, 1] - s[..., 0, 1] * s[..., 1, 0]
+        maha = jnp.einsum("nli,nlij,nlj->nl", innov, s_inv, innov)
+        logl = -0.5 * (maha + jnp.log(jnp.clip(det, 1e-20, None))
+                       + 2 * jnp.log(2 * jnp.pi))
+    return logl
+
+
+def fastslam_step_unknown(slam: FastSlam, key, particles: FastSlamParticles,
+                          u, has_control, z, mask, dt,
+                          match_logl=-4.0,
+                          new_track_logl=-10.0) -> FastSlamParticles:
+    """Unknown-correspondence FastSLAM step: EVERY PARTICLE associates
+    each measurement independently by maximum likelihood over its own map
+    (the per-particle data association that makes FastSLAM robust where a
+    single-hypothesis EKF association breaks). Two-threshold gating as in
+    EKF-SLAM: match above ``match_logl``, open a new track below
+    ``new_track_logl``, DISCARD the ambiguous band (single-gate ML
+    association spawns duplicate tracks on borderline sightings)."""
+    k_prop, k_resample = jax.random.split(key)
+    prop = slam.motion_model.sample(k_prop, particles.poses, u, dt)
+    poses = jnp.where(has_control, prop, particles.poses)
+    particles = particles.replace(poses=poses)
+    n, lmax = particles.seen.shape
+
+    def assoc_update(parts, zi, ok):
+        logl = _per_slot_likelihood(slam, parts, zi)          # (N, L)
+        logl = jnp.where(parts.seen, logl, -jnp.inf)
+        best = jnp.argmax(logl, axis=1)                       # (N,)
+        best_logl = jnp.take_along_axis(logl, best[:, None], 1)[:, 0]
+        first_free = jnp.argmin(parts.seen, axis=1)           # (N,)
+        any_free = jnp.logical_not(parts.seen.all(axis=1))
+        is_match = best_logl > match_logl
+        is_new = best_logl < new_track_logl
+        k = jnp.where(is_match, best, first_free)             # (N,) per particle!
+        usable = jnp.logical_and(ok, jnp.logical_or(
+            is_match, jnp.logical_and(is_new, any_free)))
+
+        # per-particle slot update: gather slot k of each particle,
+        # EKF-update it, scatter back
+        rows = jnp.arange(n)
+        mu = parts.lm_mu[rows, k]
+        cov = parts.lm_cov[rows, k]
+        seen = parts.seen[rows, k]
+        sub = FastSlamParticles(
+            poses=parts.poses,
+            lm_mu=mu[:, None], lm_cov=cov[:, None], seen=seen[:, None],
+            logw=parts.logw,
+        )
+        sub, logw = slam._update_one(sub, 0, zi, usable)
+        parts = parts.replace(
+            lm_mu=parts.lm_mu.at[rows, k].set(sub.lm_mu[:, 0]),
+            lm_cov=parts.lm_cov.at[rows, k].set(sub.lm_cov[:, 0]),
+            seen=parts.seen.at[rows, k].set(sub.seen[:, 0]),
+        )
+        return parts, logw
+
+    def body(carry, inp):
+        parts, logw = carry
+        zi, ok = inp
+        parts, lw = assoc_update(parts, zi, ok)
+        return (parts, logw + lw), None
+
+    (particles, logw_new), _ = jax.lax.scan(
+        body, (particles, jnp.zeros(n, particles.poses.dtype)), (z, mask))
+
+    logw = particles.logw + logw_new
+    w = jnp.exp(logw - jnp.max(logw))
+    wn = w / jnp.sum(w)
+    ess = 1.0 / jnp.sum(wn * wn)
+    do_resample = ess < 0.5 * n
+    idx = jnp.where(do_resample, resample_systematic(k_resample, w),
+                    jnp.arange(n))
+    particles = jax.tree.map(lambda a: a[idx], particles)
+    return particles.replace(
+        logw=jnp.where(do_resample, jnp.zeros_like(logw), logw))

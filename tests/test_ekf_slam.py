@@ -281,3 +281,54 @@ def test_fastslam_slam_course():
     assert seen.sum() == 9
     err = np.linalg.norm(est_lm - np.asarray(ds.landmarks), axis=-1)
     assert err.mean() < 0.2, err.mean()
+
+
+def test_fastslam_unknown_correspondences():
+    """Per-particle ML data association (every particle associates each
+    identity-withheld measurement against its OWN map, two-threshold
+    gated): the best particle discovers exactly the true landmark count
+    with an accurate map."""
+    import jax
+
+    from rustrobotics_tpu.mapping.fastslam import (
+        FastSlam,
+        fastslam_step_unknown,
+    )
+
+    poses, lms, zs, ids, masks, u, dt = _simulate()
+    rng = np.random.default_rng(7)
+    zs_s, masks_s = zs.copy(), masks.copy()
+    for t in range(len(zs)):
+        p = rng.permutation(zs.shape[1])
+        zs_s[t] = zs[t][p]
+        masks_s[t] = masks[t][p]
+    slam = FastSlam.create(
+        q=jnp.diag(jnp.asarray([0.03**2, 0.01**2], jnp.float32)),
+        motion_model=VelocityMotionModel.create(
+            jnp.asarray([0.01] * 4 + [0.002] * 2, jnp.float32)),
+        max_landmarks=10,
+    )
+    key = jax.random.key(0)
+    key, k0 = jax.random.split(key)
+    parts = slam.init_particles(
+        k0, jnp.asarray([3.0, 0.0, np.pi / 2], jnp.float32), 256)
+
+    @jax.jit
+    def run(parts, keys, zs_, masks_):
+        def body(p, ev):
+            k, z, mask = ev
+            return fastslam_step_unknown(
+                slam, k, p, jnp.asarray(u, jnp.float32),
+                jnp.asarray(True), z, mask, dt), None
+        return jax.lax.scan(body, parts, (keys, zs_, masks_))[0]
+
+    keys = jax.random.split(key, len(zs))
+    parts = run(parts, keys, jnp.asarray(zs_s, jnp.float32),
+                jnp.asarray(masks_s))
+    best = int(jnp.argmax(parts.logw))
+    seen_b = np.asarray(parts.seen[best])
+    assert seen_b.sum() == lms.shape[0], int(seen_b.sum())
+    lm_b = np.asarray(parts.lm_mu[best])[seen_b]
+    d = np.linalg.norm(lm_b[:, None, :] - lms[None], axis=-1)
+    assert (d.min(axis=1) < 0.3).all(), d.min(axis=1)
+    assert len(set(d.argmin(axis=1))) == lms.shape[0]
