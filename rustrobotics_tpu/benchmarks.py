@@ -154,6 +154,35 @@ def bench_pf_scale(results, num_particles=262144, steps=50):
     })
 
 
+def bench_fixed_lag(results, window=32, steps=200):
+    """Online sliding-window smoothing rate (W poses, 3 GN inner
+    iterations + Schur marginalization per step)."""
+    import numpy as np
+
+    from rustrobotics_tpu.mapping.fixed_lag import FixedLagSmoother
+
+    sig = np.array([0.05, 0.05, 0.02], np.float32)
+    fls = FixedLagSmoother.create(
+        window=window, closure_capacity=16,
+        chain_omega=jnp.diag(1.0 / jnp.asarray(sig**2)),
+        clos_omega=jnp.eye(3) * 100.0,
+    )
+    state = fls.init_state(jnp.zeros(3, jnp.float32))
+    odos = jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.3], jnp.float32),
+                            (steps, 3))
+
+    @jax.jit
+    def run(state, odos_):
+        return jax.lax.scan(lambda s, u: (fls.advance(s, u), None),
+                            state, odos_)[0]
+
+    t = _bench(lambda: run(state, odos).poses, repeats=5)
+    results.append({
+        "metric": f"fixed_lag_w{window}_steps_per_sec",
+        "value": round(steps / t, 1), "unit": "steps/s",
+    })
+
+
 def bench_graph_slam(results, dataset_root="/root/reference/dataset"):
     import os
 
@@ -179,6 +208,7 @@ def run_suite():
     bench_filter_updates(results)
     bench_pf_update(results)
     bench_pf_scale(results)
+    bench_fixed_lag(results)
     bench_graph_slam(results)
     for r in results:
         r["device"] = jax.devices()[0].platform
