@@ -351,3 +351,25 @@ def marginal_variances(graph: PoseGraphData):
         return marginal_covariances(bl, vals)
     h = solvers.dense_hessian(layout, vals)
     return jnp.diagonal(jnp.linalg.inv(h))
+
+
+def pose_covariances(graph: PoseGraphData):
+    """(N2, 3, 3) marginal covariance blocks of the SE2 poses at the
+    current estimates — the uncertainty-ellipse output (selected
+    inversion of the banded factor; see ops/band_chol).
+    Returns None when the banded path is unavailable."""
+    from rustrobotics_tpu.ops.band_chol import (
+        build_band_chol,
+        marginal_node_blocks,
+    )
+
+    layout = build_layout(graph)
+    dtype = graph.poses2.dtype if graph.poses2.size else graph.poses3.dtype
+    vals, _, _ = system_values(graph, jnp.asarray(0.0, dtype))
+    bl = build_band_chol(layout)
+    if bl is None:
+        return None
+    offs = np.asarray(graph.pose2_offsets)
+    sizes = np.full(len(offs), 3)
+    blocks = marginal_node_blocks(bl, vals, offs, sizes, pad_size=3)
+    return blocks

@@ -250,3 +250,117 @@ def marginal_covariances(bl: BandCholLayout, vals):
     var_scaled = jnp.diagonal(cov_blocks, axis1=1, axis2=2).reshape(-1)
     var_p = var_scaled * dinv_p**2  # undo Jacobi scaling
     return var_p[jnp.asarray(bl.inv_perm)]
+
+
+def marginal_node_blocks(bl: BandCholLayout, vals, node_offsets, node_sizes,
+                         pad_size=6):
+    """Per-node marginal covariance BLOCKS of H^-1 (pose uncertainty
+    ellipses). Extends the selected inversion with the off-diagonal
+    recursion C_{j+1,j} = -C_{j+1,j+1} S_j Ld_j^-1: any dof pair within
+    the band straddles at most ADJACENT kb-blocks (|perm distance| <= q
+    <= kb), so every within-node entry is available from the diagonal or
+    first-off-diagonal block covariances.
+
+    node_offsets/node_sizes: (B,) original dof start and size per node.
+    Returns (B, pad_size, pad_size) with identity padding beyond each
+    node's size.
+    """
+    dtype = vals.dtype
+    n, kb, nb = bl.n, bl.kb, bl.nb
+    npad = nb * kb
+
+    flat = jnp.zeros(npad * 2 * kb, dtype).at[jnp.asarray(bl.flat_idx)].add(
+        vals[jnp.asarray(bl.sel)]
+    )
+    r_blocks = flat.reshape(nb, kb, 2 * kb)
+    if len(bl.pad_rows):
+        pad = np.zeros((nb, kb, 2 * kb), np.float32)
+        pr = np.asarray(bl.pad_rows)
+        pad[pr // kb, pr % kb, kb + pr % kb] = 1.0
+        r_blocks = r_blocks + jnp.asarray(pad, dtype)
+
+    d_p = jnp.diagonal(r_blocks[:, :, kb:], axis1=1, axis2=2)
+    dinv_p = jax.lax.rsqrt(jnp.clip(d_p.reshape(-1), 1e-12, None))
+    row_scale = dinv_p.reshape(nb, kb)
+    dinv_ext = jnp.concatenate([jnp.zeros(kb, dtype), dinv_p])
+    col_scale = jnp.stack(
+        [jax.lax.dynamic_slice(dinv_ext, (j * kb,), (2 * kb,))
+         for j in range(nb)]
+    )
+    r_blocks = r_blocks * row_scale[:, :, None] * col_scale[:, None, :]
+
+    eye = jnp.eye(kb, dtype=dtype)
+    with jax.default_matmul_precision("highest"):
+        lds, lps = [], []
+        dcur = r_blocks[0, :, kb:]
+        for j in range(nb):
+            dsym = jnp.tril(dcur) + jnp.tril(dcur, -1).T
+            ld = jnp.linalg.cholesky(dsym)
+            lds.append(ld)
+            if j + 1 < nb:
+                p = r_blocks[j + 1, :, :kb]
+                lp = jax.scipy.linalg.solve_triangular(ld, p.T,
+                                                       lower=True).T
+                lps.append(lp)
+                dcur = r_blocks[j + 1, :, kb:] - lp @ lp.T
+
+        covs = [None] * nb
+        offs = [None] * max(nb - 1, 0)  # offs[j] = C_{j+1,j}
+        for j in range(nb - 1, -1, -1):
+            ld_inv = jax.scipy.linalg.solve_triangular(lds[j], eye,
+                                                       lower=True)
+            g = ld_inv.T @ ld_inv
+            if j + 1 < nb:
+                s_ld_inv = lps[j] @ ld_inv
+                offs[j] = -covs[j + 1] @ s_ld_inv
+                g = g + s_ld_inv.T @ covs[j + 1] @ s_ld_inv
+            covs[j] = g
+
+    diag_buf = jnp.stack(covs).reshape(-1)          # (nb*kb*kb,)
+    off_buf = (jnp.stack(offs).reshape(-1) if nb > 1
+               else jnp.zeros(1, dtype))
+
+    # host-side index plan: entry (a, b) of node k -> buffer + flat index
+    inv = np.asarray(bl.inv_perm, np.int64)
+    offsets = np.asarray(node_offsets, np.int64)
+    sizes = np.asarray(node_sizes, np.int64)
+    n_nodes = len(offsets)
+    sel_buf = np.zeros((n_nodes, pad_size, pad_size), np.int8)  # 0 diag,1 off,2 offT,3 pad
+    idx = np.zeros((n_nodes, pad_size, pad_size), np.int64)
+    for a in range(pad_size):
+        for b_ in range(pad_size):
+            in_node = (a < sizes) & (b_ < sizes)
+            pa = inv[np.minimum(offsets + a, bl.n - 1)]
+            pb = inv[np.minimum(offsets + b_, bl.n - 1)]
+            ja, jb = pa // kb, pb // kb
+            ra, rb = pa % kb, pb % kb
+            same = ja == jb
+            a_hi = ja == jb + 1   # entry in C_{ja, jb} = offs[jb]
+            b_hi = jb == ja + 1
+            sel = np.where(same, 0, np.where(a_hi, 1, 2)).astype(np.int8)
+            flat_i = np.where(
+                same, ja * kb * kb + ra * kb + rb,
+                np.where(a_hi, jb * kb * kb + ra * kb + rb,
+                         ja * kb * kb + rb * kb + ra))
+            sel_buf[:, a, b_] = np.where(in_node, sel, 3)
+            idx[:, a, b_] = np.where(in_node, flat_i, 0)
+
+    sel_j = jnp.asarray(sel_buf)
+    idx_j = jnp.asarray(idx)
+    vals_diag = diag_buf[idx_j]
+    vals_off = off_buf[jnp.clip(idx_j, 0, off_buf.shape[0] - 1)]
+    scaled = jnp.where(sel_j == 0, vals_diag,
+                       jnp.where(sel_j == 3, 0.0, vals_off))
+    # undo Jacobi scaling: C = dinv_a * C_scaled * dinv_b
+    dinv_orig = dinv_p[jnp.asarray(inv)]
+    da = jnp.stack([dinv_orig[jnp.minimum(jnp.asarray(offsets) + a, n - 1)]
+                    for a in range(pad_size)], axis=1)  # (B, pad)
+    da = jnp.where(jnp.asarray(np.arange(pad_size)[None, :] <
+                               sizes[:, None]), da, 1.0)
+    blocks = scaled * da[:, :, None] * da[:, None, :]
+    # identity padding
+    pad_eye = jnp.asarray(
+        (np.arange(pad_size)[None, :, None] == np.arange(pad_size)[None, None, :])
+        & (np.arange(pad_size)[None, :, None] >= sizes[:, None, None]),
+        dtype)
+    return blocks + pad_eye

@@ -346,3 +346,31 @@ def test_robust_kernel_rejects_outlier_closures(dataset_dir):
                       robust_delta=1.0)
     assert inlier_chi2(plain) > 1e6  # destroyed without robustness
     assert abs(inlier_chi2(robust) - 360.0) < 10.0, inlier_chi2(robust)
+
+
+def test_pose_covariance_blocks(dataset_dir):
+    """Per-pose 3x3 marginal covariance blocks from the banded selected
+    inverse match the dense H^-1 blocks."""
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+
+    from rustrobotics_tpu.mapping.assemble import build_layout, system_values
+    from rustrobotics_tpu.mapping.pgo import optimize, pose_covariances
+
+    g = load_g2o(dataset_dir / "g2o" / "simulation-pose-landmark.g2o")
+    res = optimize(g, num_iterations=10, backend="banded-direct")
+    blocks = np.asarray(pose_covariances(res.graph))
+    lay = build_layout(res.graph)
+    vals, _, _ = system_values(res.graph, jnp.float64(0.0))
+    h = sp.coo_matrix(
+        (np.asarray(vals), (lay.rows, lay.cols)), shape=(lay.n, lay.n)
+    ).toarray()
+    c_ref = np.linalg.inv(h)
+    offs = np.asarray(res.graph.pose2_offsets)
+    for i in [0, 10, len(offs) - 1]:
+        o = offs[i]
+        ref = c_ref[o:o + 3, o:o + 3]
+        assert np.abs(blocks[i] - ref).max() / np.abs(ref).max() < 1e-8
+    # symmetric PSD
+    assert np.allclose(blocks, np.swapaxes(blocks, -1, -2), atol=1e-12)
+    assert (np.linalg.eigvalsh(blocks) > -1e-12).all()
