@@ -102,15 +102,23 @@ def save_filter_gif(history, path, stride=10, fps=12, title="localization"):
     return path
 
 
-def plot_pose_graph(graph, path, title=None):
+def plot_pose_graph(graph, path, title=None, covariances=None,
+                    ellipse_stride=25):
     """Scatter of poses (and landmarks) with the pose sequence polyline
-    (role of PoseGraph::plot, rs:375-431)."""
+    (role of PoseGraph::plot, rs:375-431). ``covariances``: optional
+    (N, 3, 3) per-pose marginals (mapping.pgo.pose_covariances) — draws
+    3-sigma position ellipses every ``ellipse_stride`` poses."""
     plt = _mpl()
     fig, ax = plt.subplots(figsize=(7, 7))
     poses2 = np.asarray(graph.poses2)
     if poses2.size:
         ax.plot(poses2[:, 0], poses2[:, 1], "r-", lw=0.5)
         ax.scatter(poses2[:, 0], poses2[:, 1], s=4, c="b", label="poses")
+        if covariances is not None:
+            covs = np.asarray(covariances)
+            for i in range(0, len(poses2), ellipse_stride):
+                ell = covariance_ellipse(poses2[i], covs[i], n_std=3.0)
+                ax.plot(ell[0], ell[1], "c-", lw=0.6, alpha=0.7)
     lms = np.asarray(graph.landmarks2)
     if lms.size:
         ax.scatter(lms[:, 0], lms[:, 1], marker="*", c="r", label="landmarks")
