@@ -197,7 +197,7 @@ def cmd_slam(args):
 
         parts, est_lm, seen = run_slam_course_fastslam(ds)
         err = np.linalg.norm(est_lm - np.asarray(ds.landmarks), axis=-1)
-        traj = np.asarray(parts.poses)
+        traj = np.asarray(parts.poses)[:0]  # final cloud, no trajectory
         print(f"FastSLAM: {int(seen.sum())}/{len(ds.landmark_ids)} landmarks"
               f", map error mean {err.mean():.3f} m / max {err.max():.3f} m")
 
