@@ -69,7 +69,11 @@ def resample_systematic(key, weights):
     n = weights.shape[0]
     cum = jnp.cumsum(weights)
     u = jax.random.uniform(key, (), dtype=weights.dtype)
-    c = cum / cum[-1]
+    # a fully-depleted cloud (all weights underflowed to 0) must degrade to
+    # a uniform pick, not NaN indices
+    total = jnp.clip(cum[-1], jnp.finfo(weights.dtype).tiny, None)
+    c = jnp.where(cum[-1] > 0, cum / total,
+                  (jnp.arange(n, dtype=weights.dtype) + 1) / n)
     ends = jnp.ceil(n * c - u).astype(jnp.int32)  # draws strictly below c_i
     starts = jnp.concatenate([jnp.zeros(1, jnp.int32), ends[:-1]])
     # out-of-range starts (trailing zero-count particles) are dropped

@@ -41,6 +41,7 @@ class FixedLagState:
     prior_lambda: jnp.ndarray  # (3W, 3W) information of the marginal prior
     prior_mu: jnp.ndarray      # (W, 3) anchor of the prior chart
     steps: jnp.ndarray         # () int32 — poses consumed so far
+    clos_cursor: jnp.ndarray   # () int32 — round-robin insertion cursor
 
 
 @flax.struct.dataclass
@@ -77,6 +78,7 @@ class FixedLagSmoother:
             prior_lambda=lam,
             prior_mu=jnp.broadcast_to(pose0, (w, 3)).astype(dtype),
             steps=jnp.asarray(1, jnp.int32),
+            clos_cursor=jnp.asarray(0, jnp.int32),
         )
 
     # ----------------------------------------------------------- internals
@@ -153,13 +155,17 @@ class FixedLagSmoother:
     def add_closure(self, state: FixedLagState, i, j, z) -> FixedLagState:
         """Register a loop closure between window poses i -> j (oldest
         window pose is index 0). Takes the first free slot; with all slots
-        busy the oldest closure is overwritten."""
-        slot = jnp.argmin(state.clos_mask)  # first False, else 0
+        busy the closure at the round-robin cursor (the oldest insertion)
+        is overwritten."""
+        free = jnp.argmin(state.clos_mask)  # first False, else 0
+        all_busy = jnp.all(state.clos_mask)
+        slot = jnp.where(all_busy, state.clos_cursor, free)
         return state.replace(
             clos_ij=state.clos_ij.at[slot].set(
                 jnp.asarray([i, j], jnp.int32)),
             clos_z=state.clos_z.at[slot].set(z),
             clos_mask=state.clos_mask.at[slot].set(True),
+            clos_cursor=(slot + 1) % self.closure_capacity,
         )
 
     def advance(self, state: FixedLagState, odom_z) -> FixedLagState:
@@ -201,7 +207,7 @@ class FixedLagSmoother:
         return FixedLagState(
             poses=poses, chain_z=chain_z, clos_ij=ij, clos_z=state.clos_z,
             clos_mask=mask, prior_lambda=prior_lambda, prior_mu=prior_mu,
-            steps=state.steps + 1,
+            steps=state.steps + 1, clos_cursor=state.clos_cursor,
         )
 
     def current_pose(self, state: FixedLagState):

@@ -332,12 +332,17 @@ class PoseGraph:
         return result.errors
 
 
-def marginal_variances(graph: PoseGraphData):
+def marginal_variances(graph: PoseGraphData, robust: str | None = None,
+                       robust_delta: float = 1.0):
     """Per-dof marginal variances diag(H^-1) at the current estimates —
     the pose/landmark uncertainty output (no reference counterpart; its
     solver never exposes covariance). Computed by selected inversion of
     the banded factorization, O(n * bw^2); falls back to a dense inverse
-    when the RCM bandwidth is too large."""
+    when the RCM bandwidth is too large.
+
+    ``robust``/``robust_delta``: pass the SAME kernel the graph was
+    optimized with so outlier edges keep their IRLS down-weighting in the
+    reported uncertainty."""
     from rustrobotics_tpu.ops.band_chol import (
         build_band_chol,
         marginal_covariances,
@@ -345,7 +350,8 @@ def marginal_variances(graph: PoseGraphData):
 
     layout = build_layout(graph)
     dtype = graph.poses2.dtype if graph.poses2.size else graph.poses3.dtype
-    vals, _, _ = system_values(graph, jnp.asarray(0.0, dtype))
+    vals, _, _ = system_values(graph, jnp.asarray(0.0, dtype),
+                               robust=robust, robust_delta=robust_delta)
     bl = build_band_chol(layout)
     if bl is not None:
         return marginal_covariances(bl, vals)
@@ -353,11 +359,14 @@ def marginal_variances(graph: PoseGraphData):
     return jnp.diagonal(jnp.linalg.inv(h))
 
 
-def pose_covariances(graph: PoseGraphData):
+def pose_covariances(graph: PoseGraphData, robust: str | None = None,
+                     robust_delta: float = 1.0):
     """(N2, 3, 3) marginal covariance blocks of the SE2 poses at the
-    current estimates — the uncertainty-ellipse output (selected
-    inversion of the banded factor; see ops/band_chol).
-    Returns None when the banded path is unavailable."""
+    current estimates — the uncertainty-ellipse output. Banded path:
+    selected inversion of the banded factor (see ops/band_chol). When the
+    RCM bandwidth exceeds the banded limit, falls back to extracting the
+    same blocks from a dense inverse (matching marginal_variances'
+    fallback — never returns None)."""
     from rustrobotics_tpu.ops.band_chol import (
         build_band_chol,
         marginal_node_blocks,
@@ -365,11 +374,14 @@ def pose_covariances(graph: PoseGraphData):
 
     layout = build_layout(graph)
     dtype = graph.poses2.dtype if graph.poses2.size else graph.poses3.dtype
-    vals, _, _ = system_values(graph, jnp.asarray(0.0, dtype))
-    bl = build_band_chol(layout)
-    if bl is None:
-        return None
+    vals, _, _ = system_values(graph, jnp.asarray(0.0, dtype),
+                               robust=robust, robust_delta=robust_delta)
     offs = np.asarray(graph.pose2_offsets)
-    sizes = np.full(len(offs), 3)
-    blocks = marginal_node_blocks(bl, vals, offs, sizes, pad_size=3)
-    return blocks
+    bl = build_band_chol(layout)
+    if bl is not None:
+        sizes = np.full(len(offs), 3)
+        return marginal_node_blocks(bl, vals, offs, sizes, pad_size=3)
+    h = solvers.dense_hessian(layout, vals)
+    hinv = jnp.linalg.inv(h)
+    idx = jnp.asarray(offs)[:, None] + jnp.arange(3)[None, :]  # (N2, 3)
+    return hinv[idx[:, :, None], idx[:, None, :]]

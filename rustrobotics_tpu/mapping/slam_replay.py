@@ -53,11 +53,14 @@ def run_slam_course(
         ),
         max_landmarks=len(dataset.landmark_ids),
     )
-    # raw landmark ids -> slot indices (host-side, static)
-    slots = np.searchsorted(dataset.landmark_ids, np.asarray(arr.meas_ids))
-    slots = jnp.asarray(
-        np.clip(slots, 0, len(dataset.landmark_ids) - 1), jnp.int32
-    )
+    # raw landmark ids -> slot indices (host-side, static). searchsorted
+    # requires ascending world.dat ids — assert instead of silently
+    # mis-associating (frontend.py's dict mapping is the general path).
+    lids = np.asarray(dataset.landmark_ids)
+    assert np.all(np.diff(lids) > 0), \
+        "world.dat landmark ids must be strictly ascending"
+    slots = np.searchsorted(lids, np.asarray(arr.meas_ids))
+    slots = jnp.asarray(np.clip(slots, 0, len(lids) - 1), jnp.int32)
     state0 = slam.init_state(jnp.zeros(3, dtype))
     state, traj = _replay(
         slam, state0, arr.odometry, slots, arr.meas_z, arr.meas_mask

@@ -14,13 +14,16 @@ Design (TPU-first):
   static shape (K, 2K), K = bandwidth rounded up to the 128 lane tile.
   With K >= bandwidth the subdiagonal panel of block j lives entirely in
   block row j+1 -- the factorization is a strict chain.
-- The unrolled factorization carries only the running (K, K) diagonal
-  block, never updating a large buffer in place (XLA copy-on-write on big
-  .at[] updates is what makes a naive blocked Cholesky slow):
+- Factorization / substitution / selected inversion are ``lax.scan`` chains
+  over block rows carrying only the running (K, K) block (never updating a
+  large buffer in place — XLA copy-on-write on big .at[] updates is what
+  makes a naive blocked Cholesky slow):
       Ld_j   = chol(D_j)
       Lp_j+1 = R[j+1][:, :K] Ld_j^{-T}
       D_j+1  = R[j+1][:, K:] - Lp_j+1 Lp_j+1^T
-- Forward/backward substitution are the matching unrolled block chains.
+  Scanning (instead of a Python-unrolled chain) keeps compile time O(1) in
+  the number of block rows — a 100k-dof graph compiles in seconds, not
+  hundreds of unrolled Cholesky+triangular-solve stages.
 
 Everything is jittable; the builder returns a host-side layout reused
 across GN/LM iterations.
@@ -99,11 +102,12 @@ def build_band_chol(layout, max_bandwidth: int = 2048) -> BandCholLayout | None:
     )
 
 
-def solve_band_chol(bl: BandCholLayout, vals, b):
-    """Jittable: symmetric-Jacobi-scaled banded Cholesky solve of the
-    triplet system (vals aligned with the SystemLayout that built ``bl``)."""
+def _prepare_blocks(bl: BandCholLayout, vals):
+    """Scatter triplets into scaled block rows. Returns
+    (r_blocks (nb, kb, 2kb), dinv_p (npad,)) — the Jacobi-scaled banded
+    matrix and the scaling vector (permuted order)."""
     dtype = vals.dtype
-    n, kb, nb = bl.n, bl.kb, bl.nb
+    kb, nb = bl.kb, bl.nb
     npad = nb * kb
 
     # scatter RAW kept values; scaling happens on the block-row buffer
@@ -115,67 +119,109 @@ def solve_band_chol(bl: BandCholLayout, vals, b):
     r_blocks = flat.reshape(nb, kb, 2 * kb)
     # unit diagonal on padded rows so the last block stays SPD
     if len(bl.pad_rows):
-        pad = np.zeros((nb, kb, 2 * kb), np.float32)
-        pr = np.asarray(bl.pad_rows)
-        pad[pr // kb, pr % kb, kb + pr % kb] = 1.0
-        r_blocks = r_blocks + jnp.asarray(pad, dtype)
+        pr = jnp.asarray(bl.pad_rows)
+        r_blocks = r_blocks.at[pr // kb, pr % kb, kb + pr % kb].add(1.0)
 
     # Jacobi scale straight off the block-row diagonal (permuted order)
     d_p = jnp.diagonal(r_blocks[:, :, kb:], axis1=1, axis2=2)  # (nb, kb)
     dinv_p = jax.lax.rsqrt(jnp.clip(d_p.reshape(-1), 1e-12, None))  # (npad,)
     row_scale = dinv_p.reshape(nb, kb)
-    # block j holds columns (j-1)*kb .. (j+1)*kb: static windows of dinv_p
+    # block j holds columns (j-1)*kb .. (j+1)*kb: two shifted reshapes of
+    # the zero-extended scale vector give the (nb, 2kb) sliding windows
     dinv_ext = jnp.concatenate([jnp.zeros(kb, dtype), dinv_p])
-    col_scale = jnp.stack(
-        [jax.lax.dynamic_slice(dinv_ext, (j * kb,), (2 * kb,))
-         for j in range(nb)]
+    col_scale = jnp.concatenate(
+        [dinv_ext[:npad].reshape(nb, kb), dinv_ext[kb:].reshape(nb, kb)],
+        axis=1,
     )  # (nb, 2kb)
     r_blocks = r_blocks * row_scale[:, :, None] * col_scale[:, None, :]
+    return r_blocks, dinv_p
 
-    bp = b[jnp.asarray(bl.perm)]
-    bp = jnp.concatenate([bp, jnp.zeros(npad - n, dtype)])
-    bp = (bp * dinv_p).reshape(nb, kb)
+
+def _factorize(r_blocks):
+    """Blocked banded Cholesky as a lax.scan chain.
+
+    Returns (lds (nb, kb, kb), lps (nb-1, kb, kb)): diagonal Cholesky
+    factors and subdiagonal panels. The scatter fills the LOWER triangle
+    only, so each diagonal block is mirrored before factorization (the lax
+    cholesky symmetrizes its input, which would otherwise halve the
+    off-diagonals).
+    """
+    nb, kb = r_blocks.shape[0], r_blocks.shape[1]
+
+    def sym_chol(dcur):
+        dsym = jnp.tril(dcur) + jnp.tril(dcur, -1).T
+        return jnp.linalg.cholesky(dsym)
+
+    if nb == 1:
+        return sym_chol(r_blocks[0, :, kb:])[None], \
+            jnp.zeros((0, kb, kb), r_blocks.dtype)
+
+    def step(dcur, r_next):
+        ld = sym_chol(dcur)
+        lp = jax.scipy.linalg.solve_triangular(
+            ld, r_next[:, :kb].T, lower=True
+        ).T
+        dnew = r_next[:, kb:] - lp @ lp.T
+        return dnew, (ld, lp)
+
+    d_last, (lds_head, lps) = jax.lax.scan(
+        step, r_blocks[0, :, kb:], r_blocks[1:]
+    )
+    lds = jnp.concatenate([lds_head, sym_chol(d_last)[None]])
+    return lds, lps
+
+
+def solve_band_chol(bl: BandCholLayout, vals, b):
+    """Jittable: symmetric-Jacobi-scaled banded Cholesky solve of the
+    triplet system (vals aligned with the SystemLayout that built ``bl``)."""
+    dtype = vals.dtype
+    n, kb, nb = bl.n, bl.kb, bl.nb
+    npad = nb * kb
 
     with jax.default_matmul_precision("highest"):
-        # ---- factorization: carry only the running diagonal block
-        lds, lps = [], []
-        dcur = r_blocks[0, :, kb:]
-        for j in range(nb):
-            # the scatter fills the LOWER triangle only; mirror it (the
-            # lax cholesky symmetrizes its input, which would otherwise
-            # halve the off-diagonals)
-            dsym = jnp.tril(dcur) + jnp.tril(dcur, -1).T
-            ld = jnp.linalg.cholesky(dsym)
-            lds.append(ld)
-            if j + 1 < nb:
-                p = r_blocks[j + 1, :, :kb]
-                lp = jax.scipy.linalg.solve_triangular(
-                    ld, p.T, lower=True
-                ).T
-                lps.append(lp)
-                dcur = r_blocks[j + 1, :, kb:] - lp @ lp.T
+        r_blocks, dinv_p = _prepare_blocks(bl, vals)
+
+        bp = b[jnp.asarray(bl.perm)]
+        bp = jnp.concatenate([bp, jnp.zeros(npad - n, dtype)])
+        bp = (bp * dinv_p).reshape(nb, kb)
+
+        lds, lps = _factorize(r_blocks)
 
         # ---- forward substitution: L y = bp
-        ys = []
-        for j in range(nb):
-            rhs = bp[j]
-            if j > 0:
-                rhs = rhs - lps[j - 1] @ ys[j - 1]
-            ys.append(jax.scipy.linalg.solve_triangular(
-                lds[j], rhs, lower=True
-            ))
+        y0 = jax.scipy.linalg.solve_triangular(lds[0], bp[0], lower=True)
+        if nb > 1:
+            def fwd(y_prev, inp):
+                ld, lp_prev, rhs = inp
+                y = jax.scipy.linalg.solve_triangular(
+                    ld, rhs - lp_prev @ y_prev, lower=True
+                )
+                return y, y
+
+            _, ys_tail = jax.lax.scan(fwd, y0, (lds[1:], lps, bp[1:]))
+            ys = jnp.concatenate([y0[None], ys_tail])
+        else:
+            ys = y0[None]
 
         # ---- backward substitution: L^T x = y
-        xs = [None] * nb
-        for j in range(nb - 1, -1, -1):
-            rhs = ys[j]
-            if j + 1 < nb:
-                rhs = rhs - lps[j].T @ xs[j + 1]
-            xs[j] = jax.scipy.linalg.solve_triangular(
-                lds[j], rhs, lower=True, trans=1
-            )
+        x_last = jax.scipy.linalg.solve_triangular(
+            lds[-1], ys[-1], lower=True, trans=1
+        )
+        if nb > 1:
+            def bwd(x_next, inp):
+                ld, lp, y = inp
+                x = jax.scipy.linalg.solve_triangular(
+                    ld, y - lp.T @ x_next, lower=True, trans=1
+                )
+                return x, x
 
-    y = jnp.concatenate(xs)[:npad] * dinv_p
+            _, xs_head = jax.lax.scan(
+                bwd, x_last, (lds[:-1], lps, ys[:-1]), reverse=True
+            )
+            xs = jnp.concatenate([xs_head, x_last[None]])
+        else:
+            xs = x_last[None]
+
+    y = xs.reshape(-1)[:npad] * dinv_p
     return y[jnp.asarray(bl.inv_perm)]
 
 
@@ -195,61 +241,47 @@ def marginal_covariances(bl: BandCholLayout, vals):
     ORIGINAL dof order (the full diagonal blocks are internal because
     their unscaling/permutation is row-specific).
     """
-    dtype = vals.dtype
-    n, kb, nb = bl.n, bl.kb, bl.nb
-    npad = nb * kb
-
-    flat = jnp.zeros(npad * 2 * kb, dtype).at[jnp.asarray(bl.flat_idx)].add(
-        vals[jnp.asarray(bl.sel)]
-    )
-    r_blocks = flat.reshape(nb, kb, 2 * kb)
-    if len(bl.pad_rows):
-        pad = np.zeros((nb, kb, 2 * kb), np.float32)
-        pr = np.asarray(bl.pad_rows)
-        pad[pr // kb, pr % kb, kb + pr % kb] = 1.0
-        r_blocks = r_blocks + jnp.asarray(pad, dtype)
-
-    d_p = jnp.diagonal(r_blocks[:, :, kb:], axis1=1, axis2=2)
-    dinv_p = jax.lax.rsqrt(jnp.clip(d_p.reshape(-1), 1e-12, None))
-    row_scale = dinv_p.reshape(nb, kb)
-    dinv_ext = jnp.concatenate([jnp.zeros(kb, dtype), dinv_p])
-    col_scale = jnp.stack(
-        [jax.lax.dynamic_slice(dinv_ext, (j * kb,), (2 * kb,))
-         for j in range(nb)]
-    )
-    r_blocks = r_blocks * row_scale[:, :, None] * col_scale[:, None, :]
-
-    eye = jnp.eye(kb, dtype=dtype)
-    with jax.default_matmul_precision("highest"):
-        # factorization (same chain as solve_band_chol)
-        lds, lps = [], []
-        dcur = r_blocks[0, :, kb:]
-        for j in range(nb):
-            dsym = jnp.tril(dcur) + jnp.tril(dcur, -1).T
-            ld = jnp.linalg.cholesky(dsym)
-            lds.append(ld)
-            if j + 1 < nb:
-                p = r_blocks[j + 1, :, :kb]
-                lp = jax.scipy.linalg.solve_triangular(ld, p.T,
-                                                       lower=True).T
-                lps.append(lp)
-                dcur = r_blocks[j + 1, :, kb:] - lp @ lp.T
-
-        # backward selected-inverse recursion on the scaled system
-        covs = [None] * nb
-        for j in range(nb - 1, -1, -1):
-            ld_inv = jax.scipy.linalg.solve_triangular(lds[j], eye,
-                                                       lower=True)
-            g = ld_inv.T @ ld_inv
-            if j + 1 < nb:
-                s_ld_inv = lps[j] @ ld_inv  # S_j Ld_j^-1
-                g = g + s_ld_inv.T @ covs[j + 1] @ s_ld_inv
-            covs[j] = g
-
-    cov_blocks = jnp.stack(covs)  # (nb, kb, kb), scaled system
+    cov_blocks, _, dinv_p = _selected_inverse(bl, vals)
     var_scaled = jnp.diagonal(cov_blocks, axis1=1, axis2=2).reshape(-1)
     var_p = var_scaled * dinv_p**2  # undo Jacobi scaling
     return var_p[jnp.asarray(bl.inv_perm)]
+
+
+def _selected_inverse(bl: BandCholLayout, vals):
+    """Shared backward selected-inverse recursion (lax.scan, reverse).
+
+    Returns (covs (nb, kb, kb), offs (nb-1 or 1, kb, kb), dinv_p) on the
+    Jacobi-SCALED system: covs[j] = C_{jj}, offs[j] = C_{j+1,j}.
+    """
+    dtype = vals.dtype
+    kb, nb = bl.kb, bl.nb
+    eye = jnp.eye(kb, dtype=dtype)
+
+    with jax.default_matmul_precision("highest"):
+        r_blocks, dinv_p = _prepare_blocks(bl, vals)
+        lds, lps = _factorize(r_blocks)
+
+        ld_last_inv = jax.scipy.linalg.solve_triangular(
+            lds[-1], eye, lower=True
+        )
+        cov_last = ld_last_inv.T @ ld_last_inv
+        if nb == 1:
+            return cov_last[None], jnp.zeros((1, kb, kb), dtype), dinv_p
+
+        def bwd(cov_next, inp):
+            ld, lp = inp
+            ld_inv = jax.scipy.linalg.solve_triangular(ld, eye, lower=True)
+            g = ld_inv.T @ ld_inv
+            s_ld_inv = lp @ ld_inv  # S_j Ld_j^-1
+            off = -cov_next @ s_ld_inv  # C_{j+1,j}
+            cov = g + s_ld_inv.T @ cov_next @ s_ld_inv
+            return cov, (cov, off)
+
+        _, (covs_head, offs) = jax.lax.scan(
+            bwd, cov_last, (lds[:-1], lps), reverse=True
+        )
+        covs = jnp.concatenate([covs_head, cov_last[None]])
+    return covs, offs, dinv_p
 
 
 def marginal_node_blocks(bl: BandCholLayout, vals, node_offsets, node_sizes,
@@ -267,58 +299,10 @@ def marginal_node_blocks(bl: BandCholLayout, vals, node_offsets, node_sizes,
     """
     dtype = vals.dtype
     n, kb, nb = bl.n, bl.kb, bl.nb
-    npad = nb * kb
 
-    flat = jnp.zeros(npad * 2 * kb, dtype).at[jnp.asarray(bl.flat_idx)].add(
-        vals[jnp.asarray(bl.sel)]
-    )
-    r_blocks = flat.reshape(nb, kb, 2 * kb)
-    if len(bl.pad_rows):
-        pad = np.zeros((nb, kb, 2 * kb), np.float32)
-        pr = np.asarray(bl.pad_rows)
-        pad[pr // kb, pr % kb, kb + pr % kb] = 1.0
-        r_blocks = r_blocks + jnp.asarray(pad, dtype)
-
-    d_p = jnp.diagonal(r_blocks[:, :, kb:], axis1=1, axis2=2)
-    dinv_p = jax.lax.rsqrt(jnp.clip(d_p.reshape(-1), 1e-12, None))
-    row_scale = dinv_p.reshape(nb, kb)
-    dinv_ext = jnp.concatenate([jnp.zeros(kb, dtype), dinv_p])
-    col_scale = jnp.stack(
-        [jax.lax.dynamic_slice(dinv_ext, (j * kb,), (2 * kb,))
-         for j in range(nb)]
-    )
-    r_blocks = r_blocks * row_scale[:, :, None] * col_scale[:, None, :]
-
-    eye = jnp.eye(kb, dtype=dtype)
-    with jax.default_matmul_precision("highest"):
-        lds, lps = [], []
-        dcur = r_blocks[0, :, kb:]
-        for j in range(nb):
-            dsym = jnp.tril(dcur) + jnp.tril(dcur, -1).T
-            ld = jnp.linalg.cholesky(dsym)
-            lds.append(ld)
-            if j + 1 < nb:
-                p = r_blocks[j + 1, :, :kb]
-                lp = jax.scipy.linalg.solve_triangular(ld, p.T,
-                                                       lower=True).T
-                lps.append(lp)
-                dcur = r_blocks[j + 1, :, kb:] - lp @ lp.T
-
-        covs = [None] * nb
-        offs = [None] * max(nb - 1, 0)  # offs[j] = C_{j+1,j}
-        for j in range(nb - 1, -1, -1):
-            ld_inv = jax.scipy.linalg.solve_triangular(lds[j], eye,
-                                                       lower=True)
-            g = ld_inv.T @ ld_inv
-            if j + 1 < nb:
-                s_ld_inv = lps[j] @ ld_inv
-                offs[j] = -covs[j + 1] @ s_ld_inv
-                g = g + s_ld_inv.T @ covs[j + 1] @ s_ld_inv
-            covs[j] = g
-
-    diag_buf = jnp.stack(covs).reshape(-1)          # (nb*kb*kb,)
-    off_buf = (jnp.stack(offs).reshape(-1) if nb > 1
-               else jnp.zeros(1, dtype))
+    covs, offs, dinv_p = _selected_inverse(bl, vals)
+    diag_buf = covs.reshape(-1)          # (nb*kb*kb,)
+    off_buf = offs.reshape(-1)
 
     # host-side index plan: entry (a, b) of node k -> buffer + flat index
     inv = np.asarray(bl.inv_perm, np.int64)

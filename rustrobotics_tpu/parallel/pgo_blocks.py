@@ -1,0 +1,554 @@
+"""Map-block distributed pose-graph optimization (shard_map kernels).
+
+The TPU-native replacement for the reference's whole-graph-in-RAM batch
+optimizer (pose_graph_optimization.rs:247-303) at pod-slice scale: nodes
+AND edges are partitioned over the device mesh by the static
+``block_layout`` (node-RCM contiguous dof chunks), and every per-iteration
+collective moves only SEPARATOR-sized data:
+
+- assembly: each device linearizes its own edges and scatters local ELL
+  values; exactly ``h`` boundary rows (h = RCM band, independent of n)
+  are ppermute-reduced to the right neighbor(s) once per GN iteration;
+- solve: preconditioned CG whose matvec exchanges ``h`` halo values of x
+  via ppermute and whose dot products psum scalars;
+- update: dx halo exchange (h values) + fully local manifold retraction
+  of owned and halo node copies (identical arithmetic on both sides, so
+  replicas never drift).
+
+The entire GN/LM loop runs as ONE ``lax.while_loop`` inside the
+shard_map'd program — a single XLA executable with zero host round-trips
+between iterations (the distributed twin of mapping.pgo.make_optimize_jit).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+
+from rustrobotics_tpu.geometry import se2, se3
+from rustrobotics_tpu.mapping import linearize
+from rustrobotics_tpu.mapping.assemble import PRIOR_WEIGHT, _quad_blocks
+from rustrobotics_tpu.parallel.block_layout import (
+    BlockLayout,
+    build_block_layout,
+)
+
+
+# ----------------------------------------------------------------- halos
+
+def _halo_exchange(x, axis, D, ndof, h):
+    """Owned (ndof,) vector -> ext (ndof + 2h,) with neighbor halos.
+
+    Ring ppermutes move exactly h values per side, split into
+    ceil(h/ndof) hops when the halo spans several chunks (tiny graphs on
+    big meshes). Devices at the ring ends receive zeros — those ext slots
+    correspond to dofs outside [0, n_pad) and are never referenced.
+    """
+    x_ext = jnp.zeros(ndof + 2 * h, x.dtype).at[h:h + ndof].set(x)
+    if h == 0 or D == 1:
+        return x_ext
+    k_hops = -(-h // ndof)
+    for k in range(1, k_hops + 1):
+        lo = max(0, k * ndof - h)
+        ln = ndof - lo
+        if ln > 0:  # left halo, from device d-k
+            recv = jax.lax.ppermute(
+                x[lo:lo + ln], axis, [(i, i + k) for i in range(D - k)]
+            )
+            dst = h - k * ndof + lo
+            x_ext = x_ext.at[dst:dst + ln].set(recv)
+        rn = min(ndof, h - (k - 1) * ndof)
+        if rn > 0:  # right halo, from device d+k
+            recv = jax.lax.ppermute(
+                x[:rn], axis, [(i + k, i) for i in range(D - k)]
+            )
+            dst = h + k * ndof
+            x_ext = x_ext.at[dst:dst + rn].set(recv)
+    return x_ext
+
+
+def _halo_reduce(buf, axis, D, ndof, h):
+    """Ext-row buffer (ndof + 2h, ...) -> owned (ndof, ...) with the
+    bottom-halo contributions ppermute-added to their owning device.
+    Assembly writes only rows >= h (edges are assigned to the device
+    owning their lower endpoint), so the reduction is one-sided."""
+    owned = buf[h:h + ndof]
+    if h == 0 or D == 1:
+        return owned
+    k_hops = -(-h // ndof)
+    for k in range(1, k_hops + 1):
+        ln = min(ndof, h - (k - 1) * ndof)
+        if ln <= 0:
+            break
+        chunk = buf[h + k * ndof: h + k * ndof + ln]
+        recv = jax.lax.ppermute(
+            chunk, axis, [(i, i + k) for i in range(D - k)]
+        )
+        owned = owned.at[:ln].add(recv)
+    return owned
+
+
+# ------------------------------------------------------- local assembly
+
+def _flat(hxx):
+    """Entry-major flatten of a component (SoA) matrix: list of (E,)."""
+    return [hxx[k][l] for k in range(len(hxx)) for l in range(len(hxx[0]))]
+
+
+def _transpose_c(hxx):
+    return [[hxx[k][l] for k in range(len(hxx))] for l in range(len(hxx[0]))]
+
+
+def _em(blocks):
+    """Entry-major flatten of (E, nr, nc) dense blocks."""
+    return jnp.transpose(blocks, (1, 2, 0)).ravel()
+
+
+def _local_values(st, ed, ndof, h, dtype):
+    """Per-device linearization: (vals (T,), b_ext (ndof+2h,), chi2).
+
+    Emission order MUST match block_layout's triplet construction:
+    families [pp, pl, qq], quadrants [ii, ij, ji, jj], entries k-major.
+    Mirrors assemble.system_values (the single-device oracle).
+    """
+    p2, l2, p3 = st
+    (p2_dof, l2_dof, p3_dof,
+     pp_from, pp_to, pp_z, pp_omega,
+     pl_pose, pl_lm, pl_z, pl_omega,
+     qq_from, qq_to, qq_z, qq_omega) = ed
+    next_ = ndof + 2 * h
+    bvec = jnp.zeros(next_, dtype)
+    vals = []
+    chi2 = jnp.zeros((), dtype)
+
+    # SE2-SE2
+    with jax.default_matmul_precision("highest"):
+        _, hii, hij, hjj, b_i, b_j, c2 = linearize.edge_terms_pp_soa(
+            p2, pp_from, pp_to, pp_z, pp_omega
+        )
+    vals += (_flat(hii) + _flat(hij) + _flat(_transpose_c(hij))
+             + _flat(hjj))
+    off_i = p2_dof[pp_from]
+    off_j = p2_dof[pp_to]
+    for k in range(3):
+        bvec = bvec.at[off_i + k].add(b_i[k]).at[off_j + k].add(b_j[k])
+    chi2 = chi2 + jnp.sum(c2)
+
+    # SE2-XY
+    with jax.default_matmul_precision("highest"):
+        _, hii, hij, hjj, b_i, b_j, c2 = linearize.edge_terms_pl_soa(
+            p2, l2, pl_pose, pl_lm, pl_z, pl_omega
+        )
+    vals += (_flat(hii) + _flat(hij) + _flat(_transpose_c(hij))
+             + _flat(hjj))
+    off_i = p2_dof[pl_pose]
+    off_j = l2_dof[pl_lm]
+    for k in range(3):
+        bvec = bvec.at[off_i + k].add(b_i[k])
+    for k in range(2):
+        bvec = bvec.at[off_j + k].add(b_j[k])
+    chi2 = chi2 + jnp.sum(c2)
+
+    # SE3-SE3
+    e, a, b, c2 = linearize.edge_terms_qq(p3, qq_from, qq_to, qq_z, qq_omega)
+    h_ii, h_ij, h_ji, h_jj, b_i, b_j = _quad_blocks(e, a, b, qq_omega)
+    vals += [_em(h_ii), _em(h_ij), _em(h_ji), _em(h_jj)]
+    off_i = p3_dof[qq_from]
+    off_j = p3_dof[qq_to]
+    idx_i = (off_i[:, None] + jnp.arange(6)[None, :]).ravel()
+    idx_j = (off_j[:, None] + jnp.arange(6)[None, :]).ravel()
+    bvec = bvec.at[idx_i].add(b_i.ravel()).at[idx_j].add(b_j.ravel())
+    chi2 = chi2 + jnp.sum(c2)
+
+    flat_vals = [v.ravel() for v in vals]
+    return jnp.concatenate(flat_vals) if flat_vals else jnp.zeros(0, dtype), \
+        bvec, chi2
+
+
+def _local_chi2(st, ed, dtype):
+    """Residual-only chi2 of the local edge shard (for LM accept/reject)."""
+    p2, l2, p3 = st
+    (_, _, _, pp_from, pp_to, pp_z, pp_omega,
+     pl_pose, pl_lm, pl_z, pl_omega,
+     qq_from, qq_to, qq_z, qq_omega) = ed
+    chi2 = jnp.zeros((), dtype)
+    e = jax.vmap(linearize.residual_pp)(p2[pp_from], p2[pp_to], pp_z)
+    chi2 = chi2 + jnp.einsum("ei,eij,ej->", e, pp_omega, e)
+    e = jax.vmap(linearize.residual_pl)(p2[pl_pose], l2[pl_lm], pl_z)
+    chi2 = chi2 + jnp.einsum("ei,eij,ej->", e, pl_omega, e)
+    e = jax.vmap(linearize.residual_qq)(p3[qq_from], p3[qq_to], qq_z)
+    chi2 = chi2 + jnp.einsum("ei,eij,ej->", e, qq_omega, e)
+    return chi2
+
+
+def _retract(st, dx_ext, p2_dof, l2_dof, p3_dof):
+    """Manifold retraction of ALL local node copies (owned + halo) from
+    the halo-exchanged dx. Halo copies see the same dx values as their
+    owners, so replicas stay bit-identical."""
+    p2, l2, p3 = st
+    if p2.shape[0]:
+        dp = dx_ext[p2_dof[:, None] + jnp.arange(3)[None, :]]
+        p2 = se2.retract(p2, dp)
+    if l2.shape[0]:
+        dl = dx_ext[l2_dof[:, None] + jnp.arange(2)[None, :]]
+        l2 = l2 + dl
+    if p3.shape[0]:
+        dp3 = dx_ext[p3_dof[:, None] + jnp.arange(6)[None, :]]
+        p3 = se3.retract(p3, dp3)
+    return (p2, l2, p3)
+
+
+# ------------------------------------------------------------ optimizer
+
+_STATE_FIELDS = ("p2_state0", "l2_state0", "p3_state0")
+_EDGE_FIELDS = (
+    "p2_dof", "l2_dof", "p3_dof",
+    "pp_from", "pp_to", "pp_z", "pp_omega",
+    "pl_pose", "pl_lm", "pl_z", "pl_omega",
+    "qq_from", "qq_to", "qq_z", "qq_omega",
+)
+_MAP_FIELDS = (
+    "ell_order", "ell_seg", "ell_pos", "nbr", "diag_pos",
+    "pad_diag", "prior_diag", "dof_block", "dof_pos",
+    "blk_idx", "blk_mask", "pad_eye",
+)
+
+
+def layout_device_arrays(layout: BlockLayout, dtype):
+    """The stacked (D, ...) arrays consumed by the kernels, as jnp with
+    float fields cast to ``dtype``: (state, edges, maps) tuples."""
+    f = np.float64
+
+    def cast(name):
+        arr = getattr(layout, name)
+        return jnp.asarray(arr.astype(dtype) if arr.dtype == f else arr)
+
+    state = tuple(cast(n) for n in _STATE_FIELDS)
+    edges = tuple(cast(n) for n in _EDGE_FIELDS)
+    maps = tuple(cast(n) for n in _MAP_FIELDS)
+    return state, edges, maps
+
+
+def make_block_optimize(
+    mesh,
+    layout: BlockLayout,
+    num_iterations: int = 50,
+    solver: str = "gauss_newton",
+    tolerance: float = 1e-4,
+    prior_weight: float = PRIOR_WEIGHT,
+    cg_tol: float = 1e-10,
+    cg_maxiter: int | None = None,
+    dtype=jnp.float64,
+):
+    """Build the fully-jitted distributed optimizer.
+
+    Returns ``run(state, edges, maps) -> (state', errors, iters)`` where
+    the tuples come from ``layout_device_arrays``. ``errors`` follows the
+    reference trace layout (mapping.pgo.make_optimize_jit semantics).
+    """
+    axis = mesh.axis_names[0]
+    D = layout.num_devices
+    assert mesh.devices.size == D, (mesh.devices.size, D)
+    ndof, h, W = layout.ndof, layout.h, layout.ell_width
+    lm = solver in ("lm", "levenberg_marquardt")
+    maxiter = cg_maxiter if cg_maxiter is not None else 2 * layout.n_pad
+    nseg = layout.n_segments
+    nb = layout.n_blocks
+
+    def unstack(tree):
+        return jax.tree.map(lambda a: a[0], tree)
+
+    def body(state, edges, maps):
+        state = unstack(state)
+        edges = unstack(edges)
+        (ell_order, ell_seg, ell_pos, nbr, diag_pos, pad_diag,
+         prior_diag, dof_block, dof_pos, blk_idx, blk_mask,
+         pad_eye) = unstack(maps)
+
+        def assemble(st, lam):
+            """(tbl (ndof, W), b (ndof,), chi2_global, binv (NB, 6, 6))"""
+            vals, b_ext, chi2_loc = _local_values(
+                st, edges, ndof, h, dtype)
+            seg_vals = jax.ops.segment_sum(
+                vals[ell_order], ell_seg, num_segments=nseg)
+            flat = jnp.zeros((ndof + 2 * h) * W + 1, dtype)
+            flat = flat.at[ell_pos].add(seg_vals)
+            tbl_ext = flat[:-1].reshape(ndof + 2 * h, W)
+            tbl = _halo_reduce(tbl_ext, axis, D, ndof, h)
+            b = _halo_reduce(b_ext[:, None], axis, D, ndof, h)[:, 0]
+            # diagonal additions: LM damping + unit pad + gauge prior
+            extra = lam + pad_diag + prior_weight * prior_diag
+            tbl_flat = tbl.reshape(-1).at[diag_pos].add(extra)
+            tbl = tbl_flat.reshape(ndof, W)
+            chi2 = jax.lax.psum(chi2_loc, axis)
+            # block-Jacobi preconditioner from the assembled table
+            blocks = jnp.where(blk_mask, tbl_flat[blk_idx], 0.0) + pad_eye
+            with jax.default_matmul_precision("highest"):
+                binv = jnp.linalg.inv(blocks)
+            return tbl, b, chi2, binv
+
+        def precond_apply(binv, r):
+            rb = jnp.zeros((nb, 6), dtype).at[dof_block, dof_pos].set(r)
+            yb = jnp.einsum("kij,kj->ki", binv, rb,
+                            precision=jax.lax.Precision.HIGHEST)
+            return yb[dof_block, dof_pos]
+
+        def matvec(tbl, x):
+            x_ext = _halo_exchange(x, axis, D, ndof, h)
+            return jnp.sum(tbl * x_ext[nbr], axis=1)
+
+        def pcg(tbl, binv, b):
+            x0 = jnp.zeros_like(b)
+            z0 = precond_apply(binv, b)
+            d0 = jax.lax.psum(
+                jnp.stack([jnp.vdot(b, z0), jnp.vdot(b, b)]), axis)
+            rz0, bb = d0[0], d0[1]
+            atol2 = (cg_tol * cg_tol) * bb
+
+            def cond(s):
+                _, _, _, _, _, rr, k = s
+                return jnp.logical_and(k < maxiter, rr > atol2)
+
+            def step(s):
+                x, r, z, p, rz, _, k = s
+                ap = matvec(tbl, p)
+                pap = jax.lax.psum(jnp.vdot(p, ap), axis)
+                alpha = rz / pap
+                x = x + alpha * p
+                r = r - alpha * ap
+                z = precond_apply(binv, r)
+                d = jax.lax.psum(
+                    jnp.stack([jnp.vdot(r, z), jnp.vdot(r, r)]), axis)
+                beta = d[0] / rz
+                p = z + beta * p
+                return (x, r, z, p, d[0], d[1], k + 1)
+
+            s0 = (x0, b, z0, z0, rz0, bb, jnp.asarray(0, jnp.int32))
+            out = jax.lax.while_loop(cond, step, s0)
+            return out[0]
+
+        p2_dof, l2_dof, p3_dof = edges[0], edges[1], edges[2]
+
+        def do_step(st, lam):
+            """One GN/LM trial step: (new_st, dx_norm2_global, chi2_cur)."""
+            tbl, b, chi2, binv = assemble(st, lam)
+            dx = pcg(tbl, binv, -b)  # rhs negation (rs:361)
+            dx_ext = _halo_exchange(dx, axis, D, ndof, h)
+            new_st = _retract(st, dx_ext, p2_dof, l2_dof, p3_dof)
+            norm2 = jax.lax.psum(jnp.vdot(dx, dx), axis)
+            return new_st, norm2, chi2
+
+        def chi2_of(st):
+            return jax.lax.psum(_local_chi2(st, edges, dtype), axis)
+
+        def cond_loop(s):
+            _, _, _, it, norm_dx, _ = s
+            return jnp.logical_and(
+                it < num_iterations,
+                jnp.logical_not(norm_dx < tolerance))
+
+        def step_gn(s):
+            st, lam, last, it, _, errors = s
+            new_st, norm2, chi2 = do_step(st, jnp.asarray(0.0, dtype))
+            errors = errors.at[it].set(chi2)
+            return (new_st, lam, chi2, it + 1, jnp.sqrt(norm2), errors)
+
+        def step_lm(s):
+            st, lam, last, it, _, errors = s
+            new_st, norm2, chi2 = do_step(st, lam)
+            error = chi2_of(new_st)
+            reject = jnp.logical_not(error <= last)
+            kept = jax.tree.map(
+                lambda a, b_: jnp.where(reject, a, b_), st, new_st)
+            lam = jnp.where(reject, lam * 2.0, lam / 2.0)
+            errors = errors.at[it + 1].set(error)
+            new_last = jnp.where(jnp.isnan(error), last, error)
+            return (kept, lam, new_last, it + 1, jnp.sqrt(norm2), errors)
+
+        st0 = state
+        errors = jnp.full(num_iterations + 1, jnp.nan, dtype)
+        if lm:
+            errors = errors.at[0].set(chi2_of(st0))
+        s0 = (
+            st0,
+            jnp.asarray(0.01, dtype),
+            errors[0] if lm else jnp.asarray(jnp.inf, dtype),
+            jnp.asarray(0, jnp.int32),
+            jnp.asarray(jnp.inf, dtype),
+            errors,
+        )
+        st, _, _, it, _, errors = jax.lax.while_loop(
+            cond_loop, step_lm if lm else step_gn, s0)
+        if not lm:
+            errors = errors.at[it].set(chi2_of(st))
+        # restack the leading device axis for the out_specs
+        st = jax.tree.map(lambda a: a[None], st)
+        return st, errors, it
+
+    spec_state = tuple(P(axis) for _ in _STATE_FIELDS)
+    spec_edges = tuple(P(axis) for _ in _EDGE_FIELDS)
+    spec_maps = tuple(P(axis) for _ in _MAP_FIELDS)
+    sharded = shard_map(
+        body, mesh=mesh,
+        in_specs=(spec_state, spec_edges, spec_maps),
+        out_specs=(spec_state[:3], P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def make_block_step(
+    mesh,
+    layout: BlockLayout,
+    prior_weight: float = PRIOR_WEIGHT,
+    cg_tol: float = 1e-12,
+    cg_maxiter: int | None = None,
+    dtype=jnp.float64,
+):
+    """One distributed GN step for oracle tests: returns jitted
+    ``solve(state, edges, maps, lam) -> (dx (D, ndof), chi2)`` with dx in
+    the PADDED global layout (use layout.padded_to_ref to compare)."""
+    axis = mesh.axis_names[0]
+    D = layout.num_devices
+    ndof, h, W = layout.ndof, layout.h, layout.ell_width
+    maxiter = cg_maxiter if cg_maxiter is not None else 2 * layout.n_pad
+    nseg = layout.n_segments
+    nb = layout.n_blocks
+
+    def unstack(tree):
+        return jax.tree.map(lambda a: a[0], tree)
+
+    def body(state, edges, maps, lam):
+        st = unstack(state)
+        edges_l = unstack(edges)
+        (ell_order, ell_seg, ell_pos, nbr, diag_pos, pad_diag,
+         prior_diag, dof_block, dof_pos, blk_idx, blk_mask,
+         pad_eye) = unstack(maps)
+
+        vals, b_ext, chi2_loc = _local_values(st, edges_l, ndof, h, dtype)
+        seg_vals = jax.ops.segment_sum(
+            vals[ell_order], ell_seg, num_segments=nseg)
+        flat = jnp.zeros((ndof + 2 * h) * W + 1, dtype)
+        flat = flat.at[ell_pos].add(seg_vals)
+        tbl_ext = flat[:-1].reshape(ndof + 2 * h, W)
+        tbl = _halo_reduce(tbl_ext, axis, D, ndof, h)
+        b = _halo_reduce(b_ext[:, None], axis, D, ndof, h)[:, 0]
+        extra = lam + pad_diag + prior_weight * prior_diag
+        tbl_flat = tbl.reshape(-1).at[diag_pos].add(extra)
+        tbl = tbl_flat.reshape(ndof, W)
+        chi2 = jax.lax.psum(chi2_loc, axis)
+        blocks = jnp.where(blk_mask, tbl_flat[blk_idx], 0.0) + pad_eye
+        with jax.default_matmul_precision("highest"):
+            binv = jnp.linalg.inv(blocks)
+
+        def precond_apply(r):
+            rb = jnp.zeros((nb, 6), dtype).at[dof_block, dof_pos].set(r)
+            yb = jnp.einsum("kij,kj->ki", binv, rb,
+                            precision=jax.lax.Precision.HIGHEST)
+            return yb[dof_block, dof_pos]
+
+        def matvec(x):
+            x_ext = _halo_exchange(x, axis, D, ndof, h)
+            return jnp.sum(tbl * x_ext[nbr], axis=1)
+
+        b = -b  # rhs negation (rs:361)
+        x0 = jnp.zeros_like(b)
+        z0 = precond_apply(b)
+        d0 = jax.lax.psum(jnp.stack([jnp.vdot(b, z0), jnp.vdot(b, b)]),
+                          axis)
+        rz0, bb = d0[0], d0[1]
+        atol2 = (cg_tol * cg_tol) * bb
+
+        def cond(s):
+            return jnp.logical_and(s[6] < maxiter, s[5] > atol2)
+
+        def step(s):
+            x, r, z, p, rz, _, k = s
+            ap = matvec(p)
+            pap = jax.lax.psum(jnp.vdot(p, ap), axis)
+            alpha = rz / pap
+            x = x + alpha * p
+            r = r - alpha * ap
+            z = precond_apply(r)
+            d = jax.lax.psum(
+                jnp.stack([jnp.vdot(r, z), jnp.vdot(r, r)]), axis)
+            p = z + (d[0] / rz) * p
+            return (x, r, z, p, d[0], d[1], k + 1)
+
+        s0 = (x0, b, z0, z0, rz0, bb, jnp.asarray(0, jnp.int32))
+        dx = jax.lax.while_loop(cond, step, s0)[0]
+        return dx[None], chi2
+
+    spec_state = tuple(P(axis) for _ in _STATE_FIELDS)
+    spec_edges = tuple(P(axis) for _ in _EDGE_FIELDS)
+    spec_maps = tuple(P(axis) for _ in _MAP_FIELDS)
+    sharded = shard_map(
+        body, mesh=mesh,
+        in_specs=(spec_state, spec_edges, spec_maps, P()),
+        out_specs=(P(axis), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+# -------------------------------------------------------- conveniences
+
+def extract_graph(layout: BlockLayout, graph, state):
+    """Owned node rows (stacked (D, ...)) -> PoseGraphData in the
+    original node order."""
+    p2, l2, p3 = (np.asarray(s) for s in state)
+    poses2 = np.asarray(graph.poses2).copy()
+    landmarks2 = np.asarray(graph.landmarks2).copy()
+    poses3 = np.asarray(graph.poses3).copy()
+    m = layout.p2_owned
+    poses2[layout.p2_orig[m]] = p2[m]
+    m = layout.l2_owned
+    landmarks2[layout.l2_orig[m]] = l2[m]
+    m = layout.p3_owned
+    poses3[layout.p3_orig[m]] = p3[m]
+    return graph.replace(
+        poses2=jnp.asarray(poses2.astype(p2.dtype)),
+        landmarks2=jnp.asarray(landmarks2.astype(l2.dtype)),
+        poses3=jnp.asarray(poses3.astype(p3.dtype)),
+    )
+
+
+def dx_to_reference(layout: BlockLayout, dx_stacked):
+    """(D, ndof) padded dx -> (ref_n,) reference-layout dx."""
+    flat = np.asarray(dx_stacked).reshape(-1)
+    ref = layout.padded_to_ref
+    out = np.zeros(int(ref.max()) + 1, flat.dtype)
+    m = ref >= 0
+    out[ref[m]] = flat[m]
+    return out
+
+
+def block_optimize(
+    mesh,
+    graph,
+    num_iterations: int = 50,
+    solver: str = "gauss_newton",
+    tolerance: float = 1e-4,
+    prior_weight: float = PRIOR_WEIGHT,
+    cg_tol: float = 1e-10,
+    cg_maxiter: int | None = None,
+):
+    """End-to-end convenience: build layout, run the one-program
+    distributed optimization, return (graph', errors list, iterations)."""
+    dtype = (graph.poses2.dtype if graph.poses2.size else graph.poses3.dtype)
+    layout = build_block_layout(graph, mesh.devices.size)
+    state, edges, maps = layout_device_arrays(layout, dtype)
+    run = make_block_optimize(
+        mesh, layout, num_iterations=num_iterations, solver=solver,
+        tolerance=tolerance, prior_weight=prior_weight, cg_tol=cg_tol,
+        cg_maxiter=cg_maxiter, dtype=dtype,
+    )
+    out_state, errors, it = run(state, edges, maps)
+    new_graph = extract_graph(layout, graph, out_state)
+    errs = [float(e) for e in np.asarray(errors) if not np.isnan(e)]
+    return new_graph, errs, int(it)

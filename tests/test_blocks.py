@@ -1,0 +1,133 @@
+"""Map-block distributed PGO tests (virtual 8-device CPU mesh).
+
+Oracle: the block-partitioned path must reproduce single-device numerics —
+the distributed GN step equals the host sparse direct solve, and the
+fully-jitted distributed optimize reaches the reference's golden χ²
+(SURVEY §6) on the bundled graphs, including the landmark-heavy dlr
+(pose_graph_optimization.rs:623-628). Communication in this path is
+proportional to the RCM band (the separator), never to total dof — see
+parallel/block_layout.py.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rustrobotics_tpu.mapping import load_g2o, global_error
+from rustrobotics_tpu.mapping.pgo import linearize_and_solve, optimize
+from rustrobotics_tpu.mapping.synthetic import (
+    synthetic_corridor_graph_2d,
+    synthetic_pose_graph_2d,
+)
+from rustrobotics_tpu.parallel.block_layout import build_block_layout
+from rustrobotics_tpu.parallel.mesh import make_mesh
+from rustrobotics_tpu.parallel.pgo_blocks import (
+    block_optimize,
+    dx_to_reference,
+    layout_device_arrays,
+    make_block_step,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    return make_mesh(8, axis="blocks")
+
+
+def test_block_gn_step_matches_host_direct(dataset_dir, mesh8):
+    """Distributed (halo-exchange CG) dx == host sparse direct dx."""
+    g = load_g2o(dataset_dir / "g2o" / "simulation-pose-landmark.g2o")
+    layout = build_block_layout(g, 8)
+    state, edges, maps = layout_device_arrays(layout, jnp.float64)
+    solve = make_block_step(mesh8, layout, cg_tol=1e-13)
+    dx, chi2 = solve(state, edges, maps, jnp.asarray(0.0))
+    np.testing.assert_allclose(float(chi2), float(global_error(g)),
+                               rtol=1e-10)
+    dx_ref = dx_to_reference(layout, dx)
+    dx_host = np.asarray(linearize_and_solve(g, backend="host"))
+    np.testing.assert_allclose(dx_ref, dx_host, atol=1e-6)
+
+
+def test_block_gn_step_synthetic_all_device_counts():
+    """D in {1, 2, 8} all reproduce the host dx (halo hops exercised)."""
+    g = synthetic_pose_graph_2d(num_poses=60, num_landmarks=8,
+                                dtype=jnp.float64)
+    dx_host = np.asarray(linearize_and_solve(g, backend="host"))
+    for d in (1, 2, 8):
+        if len(jax.devices()) < d:
+            continue
+        mesh = make_mesh(d, axis="blocks")
+        layout = build_block_layout(g, d)
+        state, edges, maps = layout_device_arrays(layout, jnp.float64)
+        solve = make_block_step(mesh, layout, cg_tol=1e-13)
+        dx, _ = solve(state, edges, maps, jnp.asarray(0.0))
+        np.testing.assert_allclose(dx_to_reference(layout, dx), dx_host,
+                                   atol=1e-7, err_msg=f"D={d}")
+
+
+def test_block_optimize_matches_host_trace(dataset_dir, mesh8):
+    """Per-iteration χ² of the one-program distributed GN == host loop."""
+    g = load_g2o(dataset_dir / "g2o" / "simulation-pose-pose.g2o")
+    res = optimize(g, num_iterations=5, backend="host", tolerance=0.0)
+    _, errs, _ = block_optimize(mesh8, g, num_iterations=5, tolerance=0.0,
+                                cg_tol=1e-13)
+    np.testing.assert_allclose(errs[:4], res.errors[:4], rtol=1e-6)
+
+
+def test_block_lm_converges(mesh8):
+    """Distributed Levenberg-Marquardt (accept/reject inside the jitted
+    while_loop) matches the host LM trace on a synthetic graph."""
+    g = synthetic_pose_graph_2d(num_poses=48, num_landmarks=6,
+                                dtype=jnp.float64)
+    res = optimize(g, num_iterations=15, solver="lm", backend="host")
+    _, errs, _ = block_optimize(mesh8, g, num_iterations=15, solver="lm",
+                                cg_tol=1e-13)
+    assert errs[-1] <= res.errors[-1] * 1.01 + 1e-9
+    np.testing.assert_allclose(errs[:6], res.errors[:6], rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_block_optimize_intel_golden(dataset_dir, mesh8):
+    """Full distributed GN on intel reaches χ² = 360 ± 1 (rs:616-621)."""
+    g = load_g2o(dataset_dir / "g2o" / "intel.g2o")
+    _, errs, _ = block_optimize(mesh8, g, num_iterations=50, cg_tol=1e-12)
+    assert abs(errs[-1] - 360.0) <= 1.0, errs[-1]
+
+
+@pytest.mark.slow
+def test_block_optimize_landmark_golden(dataset_dir, mesh8):
+    """simulation-pose-landmark distributed GN + LM reach χ² = 474 ± 1
+    (rs:609-614) — landmark blocks ride the band partition."""
+    g = load_g2o(dataset_dir / "g2o" / "simulation-pose-landmark.g2o")
+    _, errs, _ = block_optimize(mesh8, g, num_iterations=100, cg_tol=1e-12)
+    assert abs(errs[-1] - 474.0) <= 1.0, errs[-1]
+    _, errs_lm, _ = block_optimize(mesh8, g, num_iterations=100,
+                                   solver="lm", cg_tol=1e-12)
+    assert errs_lm[-1] <= 475.0, errs_lm[-1]
+
+
+@pytest.mark.slow
+def test_block_optimize_dlr_golden(dataset_dir, mesh8):
+    """dlr (3873 nodes, 17.6k edges, landmarks, ill-conditioned) — the
+    distributed conditioning stress test (rs:623-628): χ² = 56860 ± 1."""
+    g = load_g2o(dataset_dir / "g2o" / "dlr.g2o")
+    _, errs, _ = block_optimize(mesh8, g, num_iterations=100, cg_tol=1e-10)
+    assert abs(errs[-1] - 56860.0) <= 1.0, errs[-1]
+
+
+@pytest.mark.slow
+def test_block_optimize_corridor_100k(mesh8):
+    """>=100k-dof synthetic corridor graph converges distributed with
+    bounded halo (h << n) — the scaling regime the partition targets."""
+    g = synthetic_corridor_graph_2d(num_poses=34000, num_landmarks=0,
+                                    dtype=jnp.float64)
+    assert g.total_dof >= 100_000
+    layout = build_block_layout(g, 8)
+    assert layout.h < layout.n_pad // 16, (layout.h, layout.n_pad)
+    g2, errs, it = block_optimize(mesh8, g, num_iterations=20,
+                                  cg_tol=1e-10)
+    assert errs[-1] < errs[0] * 1e-3, (errs[0], errs[-1])
+    assert np.isfinite(errs[-1])

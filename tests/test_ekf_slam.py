@@ -8,6 +8,7 @@ of unknown-position landmarks — SLAM must recover both trajectory and map.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from rustrobotics_tpu.mapping.ekf_slam import EkfSlamKnownCorrespondences
 from rustrobotics_tpu.models import VelocityMotionModel
@@ -90,6 +91,7 @@ def test_ekf_slam_recovers_map_and_trajectory():
     assert np.linalg.eigvalsh(cov).min() > -1e-6
 
 
+@pytest.mark.slow
 def test_ekf_slam_unseen_landmarks_stay_uncertain():
     poses, lms, zs, ids, masks, u, dt = _simulate(num_steps=30)
     slam = EkfSlamKnownCorrespondences.create(
@@ -161,6 +163,7 @@ def test_ekf_slam_unknown_correspondences():
     assert len(set(d.argmin(axis=1))) == num_landmarks  # one track per lm
 
 
+@pytest.mark.slow
 def test_slam_course_ekf_slam():
     """Full pipeline on the bundled slam_course dataset: odometry motion
     model + range-bearing EKF-SLAM recovers the world.dat landmark map.
@@ -190,6 +193,7 @@ def test_slam_course_ekf_slam():
     np.testing.assert_allclose(cov, cov.T, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_slam_course_graph_slam_frontend():
     """Front-end: raw slam_course log -> pose graph -> LM optimization.
     The reference has no front-end at all (its PGO only reads g2o files).
@@ -221,6 +225,7 @@ def test_slam_course_graph_slam_frontend():
     assert err.max() < 0.5, err
 
 
+@pytest.mark.slow
 def test_fastslam_recovers_map_and_trajectory():
     """FastSLAM 1.0 (Rao-Blackwellized PF, PR ch. 13): a third SLAM
     family beyond EKF-SLAM and graph SLAM — per-particle landmark EKFs

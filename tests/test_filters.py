@@ -34,6 +34,7 @@ from rustrobotics_tpu.models import (
 )
 from rustrobotics_tpu.utils.state import GaussianState
 import flax.struct
+import pytest
 
 
 @flax.struct.dataclass
@@ -98,6 +99,7 @@ def test_ekf_equals_ukf_on_linear_model():
         )
 
 
+@pytest.mark.slow
 def test_parallel_kalman_matches_sequential():
     f, h, q, r = _linear_system()
     rng = np.random.default_rng(1)
@@ -197,6 +199,7 @@ def _kc_setup():
     return landmarks, motion, meas, q
 
 
+@pytest.mark.slow
 def test_ekf_kc_converges_with_landmarks():
     """A stationary robot observing 3 landmarks repeatedly must collapse its
     covariance and localize (sequential masked updates, ekf.rs:144-159)."""
@@ -233,6 +236,7 @@ def test_ekf_kc_unknown_landmark_is_noop():
     np.testing.assert_allclose(np.asarray(out.cov), np.asarray(state.cov))
 
 
+@pytest.mark.slow
 def test_pf_kc_localizes():
     landmarks, motion, meas, q = _kc_setup()
     pf = ParticleFilterKnownCorrespondences(

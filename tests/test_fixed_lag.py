@@ -7,6 +7,7 @@ import numpy as np
 
 from rustrobotics_tpu.geometry import se2
 from rustrobotics_tpu.mapping.fixed_lag import FixedLagSmoother
+import pytest
 
 
 def _circle_data(seed=0, n_circle=12, loops=4):
@@ -23,6 +24,7 @@ def _circle_data(seed=0, n_circle=12, loops=4):
     return np.asarray(gt), odom, sig_odo, sig_clo, n_circle, rng
 
 
+@pytest.mark.slow
 def test_fixed_lag_matches_dead_reckoning_without_closures():
     """Pure odometry carries no extra information: the smoother must
     reproduce dead reckoning exactly (guards the window bookkeeping)."""
@@ -43,6 +45,7 @@ def test_fixed_lag_matches_dead_reckoning_without_closures():
         assert np.linalg.norm(cur[:2] - dr[:2]) < 1e-3, (t, cur, dr)
 
 
+@pytest.mark.slow
 def test_fixed_lag_closures_beat_dead_reckoning():
     """Revisiting a circle with loop closures: the sliding-window
     optimization + marginalized prior must clearly beat dead reckoning."""

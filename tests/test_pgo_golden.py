@@ -177,6 +177,7 @@ def test_schur_backend_reaches_golden_chi2(dataset_dir):
     assert abs(res.errors[-1] - 474.0) <= 1.0, res.errors[-1]
 
 
+@pytest.mark.slow
 def test_banded_direct_matches_host_direct(dataset_dir):
     """ops/band_chol: RCM block-row banded Cholesky reproduces the f64
     sparse-direct dx on real graphs (role of UMFPACK, rs:124-144)."""
@@ -222,6 +223,7 @@ def test_m3500_converges(dataset_dir):
     assert res.errors[-1] < 138.5, res.errors[-1]
 
 
+@pytest.mark.slow
 def test_vmapped_batch_optimization():
     """Batched PGO: the jitted optimizer is a pure function of the graph
     pytree, so jax.vmap optimizes a BATCH of same-topology graphs (e.g.
@@ -290,6 +292,7 @@ def test_marginal_variances(dataset_dir):
     assert var[off:off + 3].max() < np.median(var)
 
 
+@pytest.mark.slow
 def test_chordal_initialization_rescues_bad_init(dataset_dir):
     """Zeroed poses trap GN in a local minimum (chi2 stalls at ~15k on
     intel); chordal rotation averaging + linear translation recovery
@@ -310,6 +313,7 @@ def test_chordal_initialization_rescues_bad_init(dataset_dir):
     assert abs(res.errors[-1] - 360.0) <= 1.0, res.errors[-1]
 
 
+@pytest.mark.slow
 def test_robust_kernel_rejects_outlier_closures(dataset_dir):
     """30 gross outlier loop closures (high-information random edges)
     destroy plain LM on intel (inlier chi2 explodes past 1e7); Cauchy

@@ -18,6 +18,7 @@ from rustrobotics_tpu.mapping.linearize import linearize_qq, residual_qq
 from rustrobotics_tpu.mapping.pgo import optimize
 
 
+@pytest.mark.slow
 def test_parking_garage_converges(dataset_dir):
     g = load_g2o(dataset_dir / "g2o" / "parking-garage.g2o")
     res = optimize(g, num_iterations=50, solver="levenberg_marquardt",
@@ -26,6 +27,7 @@ def test_parking_garage_converges(dataset_dir):
     assert res.errors[-1] < 2.0, res.errors[-1]
 
 
+@pytest.mark.slow
 @pytest.mark.slow
 def test_sphere2500_converges(dataset_dir):
     g = load_g2o(dataset_dir / "g2o" / "sphere2500.g2o")
@@ -64,6 +66,7 @@ def test_se3_jacobians_match_finite_differences():
         np.testing.assert_allclose(np.asarray(b[:, k]), np.asarray(fd_b), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_parking_garage_f32_lm_nan_safe(dataset_dir):
     """The f32 normal equations of parking-garage are too ill-conditioned
     for a plain Cholesky (scaled cond ~4e9): early solves produce NaN dx.
@@ -114,6 +117,7 @@ def test_host_lm_rejects_nan_trial(dataset_dir):
     assert res.errors[-1] < res.errors[0]
 
 
+@pytest.mark.slow
 def test_torus3D_converges(dataset_dir):
     """torus3D (n=30000, 3D) — beyond the reference's todo!(). Plain LM
     from the file init stalls in a 59930 local minimum after 50
@@ -129,6 +133,7 @@ def test_torus3D_converges(dataset_dir):
     assert abs(res.errors[-1] - 24233.0) < 5.0, res.errors[-1]
 
 
+@pytest.mark.slow
 def test_chordal_init_se3_rescues_wrecked_sphere(dataset_dir):
     """SE3 chordal initialization (row-decoupled rotation averaging + SVD
     projection + linear translation recovery): from identity-initialized

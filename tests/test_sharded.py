@@ -50,6 +50,7 @@ def test_distributed_gn_step_matches_direct_solve(dataset_dir, mesh8):
     np.testing.assert_allclose(np.asarray(dx_dist), dx_direct, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_distributed_optimize_reaches_reference_chi2(dataset_dir, mesh8):
     """Full distributed GN on intel converges to the reference's golden
     χ² = 360 ± 1 (rs:616-621) — the multi-device accuracy contract."""
@@ -60,6 +61,7 @@ def test_distributed_optimize_reaches_reference_chi2(dataset_dir, mesh8):
     assert abs(errors[-1] - 360.0) <= 1.0, errors[-1]
 
 
+@pytest.mark.slow
 def test_distributed_matches_single_device_trajectory(dataset_dir, mesh8):
     """Per-iteration χ² trace of distributed GN ≈ host-loop GN."""
     g = load_g2o(dataset_dir / "g2o" / "simulation-pose-pose.g2o")
@@ -98,6 +100,7 @@ def test_sharded_pf_matches_single_device_stats(mesh8):
     np.testing.assert_allclose(np.asarray(est_sh.x[:2]), np.asarray(z), atol=0.15)
 
 
+@pytest.mark.slow
 def test_multiprocess_distributed_matches_single_process(tmp_path):
     """True multi-host stand-in (SURVEY §4): two OS processes, each with 4
     CPU devices, form one 8-device mesh via jax.distributed; the
