@@ -18,6 +18,14 @@ import sys
 import time
 
 import jax
+
+try:
+    # must happen before the CPU backend initializes: gives the scaling
+    # proxy its virtual 8-device CPU mesh alongside the real TPU
+    jax.config.update("jax_num_cpu_devices", 8)
+except Exception:
+    pass
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -63,17 +71,55 @@ def _time_host_path(graph, iters=10):
     return time.perf_counter() - t0
 
 
+def _roofline_extra(graph, device_s, iters):
+    """Achieved TFLOP/s + MFU of the headline run (roofline.py)."""
+    from rustrobotics_tpu.mapping.assemble import build_layout
+    from rustrobotics_tpu.ops.band_chol import build_band_chol
+    from rustrobotics_tpu.roofline import mfu, pgo_iteration_flops
+
+    bl = build_band_chol(build_layout(graph))
+    backend = "banded-direct" if bl is not None else "dense"
+    flops = pgo_iteration_flops(graph, backend, bl) * iters
+    platform = jax.devices()[0].platform
+    u = mfu(flops / device_s, platform)
+    return {
+        "tflops": round(flops / device_s / 1e12, 3),
+        "mfu_vs_f32_peak": round(u, 4) if u is not None else None,
+    }
+
+
+def _scaling_extra():
+    """Weak/strong map-block scaling efficiency on the virtual 8-device
+    CPU mesh (multi-chip proxy; BASELINE.md '>=80% 1->N' target)."""
+    from rustrobotics_tpu.benchmarks import bench_block_scaling
+
+    res = []
+    try:
+        bench_block_scaling(res, devices=(1, 8), base_poses=1024, iters=4)
+    except Exception as exc:  # scaling proxy must never sink the bench
+        return {"scaling_error": str(exc)[:120]}
+    out = {}
+    for r in res:
+        if r["metric"].endswith("_d8"):
+            kind = "weak" if "weak" in r["metric"] else "strong"
+            out[f"{kind}_scaling_eff_pct_8dev_cpu_proxy"] = (
+                r["efficiency_pct"])
+    return out
+
+
 def main():
     graph, name = _load_graph()
     iters = 10
     device_s, errors = _time_device_path(graph, iters=iters)
     host_s = _time_host_path(graph, iters=iters)
     iters_per_sec = iters / device_s
+    extra = _roofline_extra(graph, device_s, iters)
+    extra.update(_scaling_extra())
     print(
         f"[bench] {name}: device {device_s*1e3:.1f} ms /10 GN iters "
         f"({iters_per_sec:.1f} it/s) on {jax.devices()[0].platform}; "
         f"host-direct pipeline {host_s*1e3:.1f} ms; "
-        f"chi2 trace head {errors[:4].tolist()}",
+        f"chi2 trace head {errors[:4].tolist()}; extra {extra}",
         file=sys.stderr,
     )
     print(
@@ -83,6 +129,7 @@ def main():
                 "value": round(iters_per_sec, 3),
                 "unit": "iters/s",
                 "vs_baseline": round(host_s / device_s, 3),
+                "extra": extra,
             }
         )
     )

@@ -137,27 +137,72 @@ def _prepare_blocks(bl: BandCholLayout, vals):
     return r_blocks, dinv_p
 
 
+# Below this many block rows, the factorization/substitution chains are
+# unrolled as Python loops over per-block values: the scan variant
+# materializes its stacked (nb, kb, kb) carries between passes, measured
+# at ~1 ms/GN-iteration slower on intel (TPU). Above it, the scan keeps
+# compile time O(1) in nb (a 100k-dof graph has ~400 block rows).
+UNROLL_MAX_NB = 64
+
+
+def _sym_chol(dcur):
+    # the scatter fills the LOWER triangle only; mirror before
+    # factorization (lax cholesky symmetrizes its input, which would
+    # otherwise halve the off-diagonals)
+    dsym = jnp.tril(dcur) + jnp.tril(dcur, -1).T
+    return jnp.linalg.cholesky(dsym)
+
+
+def _factorize_unrolled(r_blocks):
+    """Python-unrolled chain: returns ([ld_j], [lp_j]) as lists."""
+    nb, kb = r_blocks.shape[0], r_blocks.shape[1]
+    lds, lps = [], []
+    dcur = r_blocks[0, :, kb:]
+    for j in range(nb):
+        ld = _sym_chol(dcur)
+        lds.append(ld)
+        if j + 1 < nb:
+            p = r_blocks[j + 1, :, :kb]
+            lp = jax.scipy.linalg.solve_triangular(ld, p.T, lower=True).T
+            lps.append(lp)
+            dcur = r_blocks[j + 1, :, kb:] - lp @ lp.T
+    return lds, lps
+
+
+def _substitute_unrolled(lds, lps, bp):
+    """Forward + backward substitution over per-block lists."""
+    nb = len(lds)
+    ys = []
+    for j in range(nb):
+        rhs = bp[j]
+        if j > 0:
+            rhs = rhs - lps[j - 1] @ ys[j - 1]
+        ys.append(jax.scipy.linalg.solve_triangular(lds[j], rhs,
+                                                    lower=True))
+    xs = [None] * nb
+    for j in range(nb - 1, -1, -1):
+        rhs = ys[j]
+        if j + 1 < nb:
+            rhs = rhs - lps[j].T @ xs[j + 1]
+        xs[j] = jax.scipy.linalg.solve_triangular(
+            lds[j], rhs, lower=True, trans=1)
+    return jnp.stack(xs)
+
+
 def _factorize(r_blocks):
     """Blocked banded Cholesky as a lax.scan chain.
 
     Returns (lds (nb, kb, kb), lps (nb-1, kb, kb)): diagonal Cholesky
-    factors and subdiagonal panels. The scatter fills the LOWER triangle
-    only, so each diagonal block is mirrored before factorization (the lax
-    cholesky symmetrizes its input, which would otherwise halve the
-    off-diagonals).
+    factors and subdiagonal panels.
     """
     nb, kb = r_blocks.shape[0], r_blocks.shape[1]
 
-    def sym_chol(dcur):
-        dsym = jnp.tril(dcur) + jnp.tril(dcur, -1).T
-        return jnp.linalg.cholesky(dsym)
-
     if nb == 1:
-        return sym_chol(r_blocks[0, :, kb:])[None], \
+        return _sym_chol(r_blocks[0, :, kb:])[None], \
             jnp.zeros((0, kb, kb), r_blocks.dtype)
 
     def step(dcur, r_next):
-        ld = sym_chol(dcur)
+        ld = _sym_chol(dcur)
         lp = jax.scipy.linalg.solve_triangular(
             ld, r_next[:, :kb].T, lower=True
         ).T
@@ -167,8 +212,49 @@ def _factorize(r_blocks):
     d_last, (lds_head, lps) = jax.lax.scan(
         step, r_blocks[0, :, kb:], r_blocks[1:]
     )
-    lds = jnp.concatenate([lds_head, sym_chol(d_last)[None]])
+    lds = jnp.concatenate([lds_head, _sym_chol(d_last)[None]])
     return lds, lps
+
+
+def band_substitute(lds, lps, bp):
+    """Forward + backward substitution through the blocked banded factor
+    (lax.scan chains): solves L L^T x = bp for bp of shape (nb, kb)."""
+    nb = bp.shape[0]
+
+    # ---- forward substitution: L y = bp
+    y0 = jax.scipy.linalg.solve_triangular(lds[0], bp[0], lower=True)
+    if nb > 1:
+        def fwd(y_prev, inp):
+            ld, lp_prev, rhs = inp
+            y = jax.scipy.linalg.solve_triangular(
+                ld, rhs - lp_prev @ y_prev, lower=True
+            )
+            return y, y
+
+        _, ys_tail = jax.lax.scan(fwd, y0, (lds[1:], lps, bp[1:]))
+        ys = jnp.concatenate([y0[None], ys_tail])
+    else:
+        ys = y0[None]
+
+    # ---- backward substitution: L^T x = y
+    x_last = jax.scipy.linalg.solve_triangular(
+        lds[-1], ys[-1], lower=True, trans=1
+    )
+    if nb > 1:
+        def bwd(x_next, inp):
+            ld, lp, y = inp
+            x = jax.scipy.linalg.solve_triangular(
+                ld, y - lp.T @ x_next, lower=True, trans=1
+            )
+            return x, x
+
+        _, xs_head = jax.lax.scan(
+            bwd, x_last, (lds[:-1], lps, ys[:-1]), reverse=True
+        )
+        xs = jnp.concatenate([xs_head, x_last[None]])
+    else:
+        xs = x_last[None]
+    return xs
 
 
 def solve_band_chol(bl: BandCholLayout, vals, b):
@@ -185,41 +271,12 @@ def solve_band_chol(bl: BandCholLayout, vals, b):
         bp = jnp.concatenate([bp, jnp.zeros(npad - n, dtype)])
         bp = (bp * dinv_p).reshape(nb, kb)
 
-        lds, lps = _factorize(r_blocks)
-
-        # ---- forward substitution: L y = bp
-        y0 = jax.scipy.linalg.solve_triangular(lds[0], bp[0], lower=True)
-        if nb > 1:
-            def fwd(y_prev, inp):
-                ld, lp_prev, rhs = inp
-                y = jax.scipy.linalg.solve_triangular(
-                    ld, rhs - lp_prev @ y_prev, lower=True
-                )
-                return y, y
-
-            _, ys_tail = jax.lax.scan(fwd, y0, (lds[1:], lps, bp[1:]))
-            ys = jnp.concatenate([y0[None], ys_tail])
+        if nb <= UNROLL_MAX_NB:
+            lds, lps = _factorize_unrolled(r_blocks)
+            xs = _substitute_unrolled(lds, lps, bp)
         else:
-            ys = y0[None]
-
-        # ---- backward substitution: L^T x = y
-        x_last = jax.scipy.linalg.solve_triangular(
-            lds[-1], ys[-1], lower=True, trans=1
-        )
-        if nb > 1:
-            def bwd(x_next, inp):
-                ld, lp, y = inp
-                x = jax.scipy.linalg.solve_triangular(
-                    ld, y - lp.T @ x_next, lower=True, trans=1
-                )
-                return x, x
-
-            _, xs_head = jax.lax.scan(
-                bwd, x_last, (lds[:-1], lps, ys[:-1]), reverse=True
-            )
-            xs = jnp.concatenate([xs_head, x_last[None]])
-        else:
-            xs = x_last[None]
+            lds, lps = _factorize(r_blocks)
+            xs = band_substitute(lds, lps, bp)
 
     y = xs.reshape(-1)[:npad] * dinv_p
     return y[jnp.asarray(bl.inv_perm)]

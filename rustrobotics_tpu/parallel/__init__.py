@@ -18,3 +18,11 @@ from rustrobotics_tpu.parallel.pgo_sharded import (  # noqa: F401
 from rustrobotics_tpu.parallel.pf_sharded import (  # noqa: F401
     sharded_pf_step,
 )
+from rustrobotics_tpu.parallel.block_layout import (  # noqa: F401
+    build_block_layout,
+)
+from rustrobotics_tpu.parallel.pgo_blocks import (  # noqa: F401
+    block_optimize,
+    make_block_optimize,
+    make_block_step,
+)

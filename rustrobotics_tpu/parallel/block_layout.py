@@ -97,6 +97,17 @@ class BlockLayout:
     blk_mask: np.ndarray    # (D, NB, 6, 6) bool
     pad_eye: np.ndarray     # (D, NB, 6, 6) f64 identity padding
 
+    # --- per-device additive-Schwarz (local banded Cholesky) maps ---
+    # each device's OWNED diagonal block of H, as banded block rows
+    # (nb_loc, kb_loc, 2*kb_loc) gathered from the owned ELL table — the
+    # comm-free subdomain solve that keeps distributed CG iteration
+    # counts at direct-solve levels
+    kb_loc: int
+    nb_loc: int
+    band_idx: np.ndarray    # (D, nb_loc, kb_loc, 2*kb_loc) int32
+    band_mask: np.ndarray   # (D, nb_loc, kb_loc, 2*kb_loc) bool
+    band_pad: np.ndarray    # (nb_loc, kb_loc, 2*kb_loc) f64 identity rows
+
     # --- result extraction / oracle maps ---
     padded_to_ref: np.ndarray  # (n_pad,) int64 reference dof id, -1 pad
 
@@ -459,6 +470,38 @@ def build_block_layout(graph, num_devices: int) -> BlockLayout:
     pe[:, aa, aa] = (aa[None, :] >= blk_size[:, None]).astype(np.float64)
     pad_eye[blk_dev, blk_local] = pe
 
+    # ---- additive-Schwarz local banded maps ---------------------------
+    # owned-block scalar half-bandwidth: max |r - c| over pattern entries
+    # whose row AND col live on the same device
+    same_owner = (uniq_r // ndof) == (uniq_c // ndof)
+    if np.any(same_owner):
+        q_loc = int(np.abs(uniq_r[same_owner]
+                           - uniq_c[same_owner]).max())
+    else:
+        q_loc = 0
+    kb_loc = max(128, -(-q_loc // 128) * 128)
+    nb_loc = max(-(-ndof // kb_loc), 1)
+    band_idx = np.zeros((D, nb_loc, kb_loc, 2 * kb_loc), np.int32)
+    band_mask = np.zeros((D, nb_loc, kb_loc, 2 * kb_loc), bool)
+    jj = np.arange(nb_loc)[:, None, None]
+    ii = np.arange(kb_loc)[None, :, None]
+    ll = np.arange(2 * kb_loc)[None, None, :]
+    rr_l = jj * kb_loc + ii                     # local owned row
+    cc_l = (jj - 1) * kb_loc + ll               # local owned col
+    valid = (cc_l >= 0) & (cc_l <= rr_l) & (rr_l < ndof)
+    for d in range(D):
+        gkey = ((d * ndof + rr_l).astype(np.int64) * n_pad
+                + (d * ndof + cc_l))
+        ins = np.searchsorted(uniq, gkey)
+        ins_c = np.minimum(ins, len(uniq) - 1)
+        found = valid & (uniq[ins_c] == gkey)
+        band_idx[d] = np.where(found, rr_l * width + slot[ins_c], 0)
+        band_mask[d] = found
+    band_pad = np.zeros((nb_loc, kb_loc, 2 * kb_loc))
+    pad_r = np.arange(ndof, nb_loc * kb_loc)
+    band_pad[pad_r // kb_loc, pad_r % kb_loc,
+             kb_loc + pad_r % kb_loc] = 1.0
+
     # ---- reference-layout map -----------------------------------------
     padded_to_ref = np.full(n_pad, -1, np.int64)
     ref_off = np.concatenate([
@@ -491,5 +534,7 @@ def build_block_layout(graph, num_devices: int) -> BlockLayout:
         pad_diag=pad_diag, prior_diag=prior_diag,
         dof_block=dof_block, dof_pos=dof_pos, n_blocks=n_blocks,
         blk_idx=blk_idx, blk_mask=blk_mask, pad_eye=pad_eye,
+        kb_loc=kb_loc, nb_loc=nb_loc, band_idx=band_idx,
+        band_mask=band_mask, band_pad=band_pad,
         padded_to_ref=padded_to_ref,
     )

@@ -10,7 +10,16 @@ collective moves only SEPARATOR-sized data:
   values; exactly ``h`` boundary rows (h = RCM band, independent of n)
   are ppermute-reduced to the right neighbor(s) once per GN iteration;
 - solve: preconditioned CG whose matvec exchanges ``h`` halo values of x
-  via ppermute and whose dot products psum scalars;
+  via ppermute and whose dot products psum scalars. Two preconditioners:
+  ``jacobi`` (per-node 6x6 blocks, negligible setup — the default, and
+  the right choice on the 1-core CPU test mesh where every device's
+  FLOPs serialize) and ``schwarz`` (additive Schwarz: each device
+  factors its owned banded diagonal block once per GN iteration,
+  ops/band_chol, and applies it comm-free). Schwarz cuts CG iteration
+  counts roughly an order of magnitude (D=1 converges in ONE iteration),
+  which is what matters on a real pod slice where each CG round costs
+  two sequential ICI collectives — flip the default when deploying
+  multi-chip;
 - update: dx halo exchange (h values) + fully local manifold retraction
   of owned and halo node copies (identical arithmetic on both sides, so
   replicas never drift).
@@ -22,7 +31,7 @@ between iterations (the distributed twin of mapping.pgo.make_optimize_jit).
 
 from __future__ import annotations
 
-from functools import partial
+import dataclasses
 
 import jax
 import jax.numpy as jnp
@@ -33,6 +42,7 @@ from jax.sharding import PartitionSpec as P
 from rustrobotics_tpu.geometry import se2, se3
 from rustrobotics_tpu.mapping import linearize
 from rustrobotics_tpu.mapping.assemble import PRIOR_WEIGHT, _quad_blocks
+from rustrobotics_tpu.ops.band_chol import _factorize, band_substitute
 from rustrobotics_tpu.parallel.block_layout import (
     BlockLayout,
     build_block_layout,
@@ -121,8 +131,7 @@ def _local_values(st, ed, ndof, h, dtype):
      pp_from, pp_to, pp_z, pp_omega,
      pl_pose, pl_lm, pl_z, pl_omega,
      qq_from, qq_to, qq_z, qq_omega) = ed
-    next_ = ndof + 2 * h
-    bvec = jnp.zeros(next_, dtype)
+    bvec = jnp.zeros(ndof + 2 * h, dtype)
     vals = []
     chi2 = jnp.zeros((), dtype)
 
@@ -215,8 +224,154 @@ _EDGE_FIELDS = (
 _MAP_FIELDS = (
     "ell_order", "ell_seg", "ell_pos", "nbr", "diag_pos",
     "pad_diag", "prior_diag", "dof_block", "dof_pos",
-    "blk_idx", "blk_mask", "pad_eye",
+    "blk_idx", "blk_mask", "pad_eye", "band_idx", "band_mask",
 )
+
+
+@dataclasses.dataclass(frozen=True)
+class _Dims:
+    """Static kernel dimensions shared by the per-device functions."""
+    axis: str
+    D: int
+    ndof: int
+    h: int
+    W: int
+    nseg: int
+    nb: int         # block-Jacobi blocks
+    kb_loc: int     # Schwarz local band
+    nb_loc: int
+    precond: str
+    prior_weight: float
+    cg_tol: float
+    maxiter: int
+    dtype: object
+    band_pad: object  # (nb_loc, kb_loc, 2kb_loc) np identity pad rows
+
+
+def _dims_from(layout, precond, prior_weight, cg_tol, cg_maxiter, dtype,
+               mesh):
+    return _Dims(
+        axis=mesh.axis_names[0], D=layout.num_devices, ndof=layout.ndof,
+        h=layout.h, W=layout.ell_width, nseg=layout.n_segments,
+        nb=layout.n_blocks, kb_loc=layout.kb_loc, nb_loc=layout.nb_loc,
+        precond=precond, prior_weight=prior_weight, cg_tol=cg_tol,
+        maxiter=(cg_maxiter if cg_maxiter is not None
+                 else 2 * layout.n_pad),
+        dtype=dtype, band_pad=layout.band_pad,
+    )
+
+
+def _assemble(dm: _Dims, maps, edges, st, lam):
+    """Linearize + scatter + halo-reduce + diag adds + preconditioner.
+
+    Returns (tbl (ndof, W), b (ndof,), chi2_global, precond_state).
+    """
+    (ell_order, ell_seg, ell_pos, nbr, diag_pos, pad_diag,
+     prior_diag, dof_block, dof_pos, blk_idx, blk_mask,
+     pad_eye, band_idx, band_mask) = maps
+    ndof, h, W, dtype = dm.ndof, dm.h, dm.W, dm.dtype
+
+    vals, b_ext, chi2_loc = _local_values(st, edges, ndof, h, dtype)
+    seg_vals = jax.ops.segment_sum(
+        vals[ell_order], ell_seg, num_segments=dm.nseg)
+    flat = jnp.zeros((ndof + 2 * h) * W + 1, dtype)
+    flat = flat.at[ell_pos].add(seg_vals)
+    tbl_ext = flat[:-1].reshape(ndof + 2 * h, W)
+    tbl = _halo_reduce(tbl_ext, dm.axis, dm.D, ndof, h)
+    b = _halo_reduce(b_ext[:, None], dm.axis, dm.D, ndof, h)[:, 0]
+    # diagonal additions: LM damping + unit pad + gauge prior
+    extra = lam + pad_diag + dm.prior_weight * prior_diag
+    tbl_flat = tbl.reshape(-1).at[diag_pos].add(extra)
+    tbl = tbl_flat.reshape(ndof, W)
+    chi2 = jax.lax.psum(chi2_loc, dm.axis)
+
+    if dm.precond == "jacobi":
+        blocks = jnp.where(blk_mask, tbl_flat[blk_idx], 0.0) + pad_eye
+        with jax.default_matmul_precision("highest"):
+            binv = jnp.linalg.inv(blocks)
+        pstate = (binv,)
+    else:  # additive Schwarz: local banded Cholesky of the owned block
+        kb, nbl = dm.kb_loc, dm.nb_loc
+        npad_loc = nbl * kb
+        d_own = tbl_flat[diag_pos]
+        dinv = jax.lax.rsqrt(jnp.clip(d_own, 1e-12, None))
+        dinv_pad = jnp.concatenate(
+            [dinv, jnp.ones(npad_loc - ndof, dtype)])
+        r_blocks = jnp.where(band_mask, tbl_flat[band_idx], 0.0) \
+            + jnp.asarray(dm.band_pad, dtype)
+        row_scale = dinv_pad.reshape(nbl, kb)
+        dinv_ext = jnp.concatenate([jnp.zeros(kb, dtype), dinv_pad])
+        col_scale = jnp.concatenate(
+            [dinv_ext[:npad_loc].reshape(nbl, kb),
+             dinv_ext[kb:].reshape(nbl, kb)], axis=1)
+        r_blocks = r_blocks * row_scale[:, :, None] * col_scale[:, None, :]
+        with jax.default_matmul_precision("highest"):
+            lds, lps = _factorize(r_blocks)
+        pstate = (lds, lps, dinv)
+    return tbl, b, chi2, pstate
+
+
+def _make_precond(dm: _Dims, maps, pstate):
+    (_, _, _, _, _, _, _, dof_block, dof_pos, *_rest) = maps
+    if dm.precond == "jacobi":
+        (binv,) = pstate
+
+        def precond(r):
+            rb = jnp.zeros((dm.nb, 6), dm.dtype).at[
+                dof_block, dof_pos].set(r)
+            yb = jnp.einsum("kij,kj->ki", binv, rb,
+                            precision=jax.lax.Precision.HIGHEST)
+            return yb[dof_block, dof_pos]
+    else:
+        lds, lps, dinv = pstate
+        kb, nbl = dm.kb_loc, dm.nb_loc
+        npad_loc = nbl * kb
+
+        def precond(r):
+            rp = (r * dinv)
+            rp = jnp.concatenate(
+                [rp, jnp.zeros(npad_loc - dm.ndof, dm.dtype)]
+            ).reshape(nbl, kb)
+            with jax.default_matmul_precision("highest"):
+                xs = band_substitute(lds, lps, rp)
+            return xs.reshape(-1)[:dm.ndof] * dinv
+    return precond
+
+
+def _pcg(dm: _Dims, tbl, nbr, precond, b):
+    """Distributed preconditioned CG: halo-exchange matvec + psum dots."""
+
+    def matvec(x):
+        x_ext = _halo_exchange(x, dm.axis, dm.D, dm.ndof, dm.h)
+        return jnp.sum(tbl * x_ext[nbr], axis=1)
+
+    x0 = jnp.zeros_like(b)
+    z0 = precond(b)
+    d0 = jax.lax.psum(jnp.stack([jnp.vdot(b, z0), jnp.vdot(b, b)]),
+                      dm.axis)
+    rz0, bb = d0[0], d0[1]
+    atol2 = (dm.cg_tol * dm.cg_tol) * bb
+
+    def cond(s):
+        return jnp.logical_and(s[6] < dm.maxiter, s[5] > atol2)
+
+    def step(s):
+        x, r, z, p, rz, _, k = s
+        ap = matvec(p)
+        pap = jax.lax.psum(jnp.vdot(p, ap), dm.axis)
+        alpha = rz / pap
+        x = x + alpha * p
+        r = r - alpha * ap
+        z = precond(r)
+        d = jax.lax.psum(jnp.stack([jnp.vdot(r, z), jnp.vdot(r, r)]),
+                         dm.axis)
+        beta = d[0] / rz
+        p = z + beta * p
+        return (x, r, z, p, d[0], d[1], k + 1)
+
+    s0 = (x0, b, z0, z0, rz0, bb, jnp.asarray(0, jnp.int32))
+    out = jax.lax.while_loop(cond, step, s0)
+    return out[0], out[6]
 
 
 def layout_device_arrays(layout: BlockLayout, dtype):
@@ -243,6 +398,7 @@ def make_block_optimize(
     prior_weight: float = PRIOR_WEIGHT,
     cg_tol: float = 1e-10,
     cg_maxiter: int | None = None,
+    precond: str = "jacobi",
     dtype=jnp.float64,
 ):
     """Build the fully-jitted distributed optimizer.
@@ -251,100 +407,32 @@ def make_block_optimize(
     the tuples come from ``layout_device_arrays``. ``errors`` follows the
     reference trace layout (mapping.pgo.make_optimize_jit semantics).
     """
-    axis = mesh.axis_names[0]
-    D = layout.num_devices
-    assert mesh.devices.size == D, (mesh.devices.size, D)
-    ndof, h, W = layout.ndof, layout.h, layout.ell_width
+    assert mesh.devices.size == layout.num_devices
+    dm = _dims_from(layout, precond, prior_weight, cg_tol, cg_maxiter,
+                    dtype, mesh)
     lm = solver in ("lm", "levenberg_marquardt")
-    maxiter = cg_maxiter if cg_maxiter is not None else 2 * layout.n_pad
-    nseg = layout.n_segments
-    nb = layout.n_blocks
 
     def unstack(tree):
         return jax.tree.map(lambda a: a[0], tree)
 
     def body(state, edges, maps):
-        state = unstack(state)
-        edges = unstack(edges)
-        (ell_order, ell_seg, ell_pos, nbr, diag_pos, pad_diag,
-         prior_diag, dof_block, dof_pos, blk_idx, blk_mask,
-         pad_eye) = unstack(maps)
-
-        def assemble(st, lam):
-            """(tbl (ndof, W), b (ndof,), chi2_global, binv (NB, 6, 6))"""
-            vals, b_ext, chi2_loc = _local_values(
-                st, edges, ndof, h, dtype)
-            seg_vals = jax.ops.segment_sum(
-                vals[ell_order], ell_seg, num_segments=nseg)
-            flat = jnp.zeros((ndof + 2 * h) * W + 1, dtype)
-            flat = flat.at[ell_pos].add(seg_vals)
-            tbl_ext = flat[:-1].reshape(ndof + 2 * h, W)
-            tbl = _halo_reduce(tbl_ext, axis, D, ndof, h)
-            b = _halo_reduce(b_ext[:, None], axis, D, ndof, h)[:, 0]
-            # diagonal additions: LM damping + unit pad + gauge prior
-            extra = lam + pad_diag + prior_weight * prior_diag
-            tbl_flat = tbl.reshape(-1).at[diag_pos].add(extra)
-            tbl = tbl_flat.reshape(ndof, W)
-            chi2 = jax.lax.psum(chi2_loc, axis)
-            # block-Jacobi preconditioner from the assembled table
-            blocks = jnp.where(blk_mask, tbl_flat[blk_idx], 0.0) + pad_eye
-            with jax.default_matmul_precision("highest"):
-                binv = jnp.linalg.inv(blocks)
-            return tbl, b, chi2, binv
-
-        def precond_apply(binv, r):
-            rb = jnp.zeros((nb, 6), dtype).at[dof_block, dof_pos].set(r)
-            yb = jnp.einsum("kij,kj->ki", binv, rb,
-                            precision=jax.lax.Precision.HIGHEST)
-            return yb[dof_block, dof_pos]
-
-        def matvec(tbl, x):
-            x_ext = _halo_exchange(x, axis, D, ndof, h)
-            return jnp.sum(tbl * x_ext[nbr], axis=1)
-
-        def pcg(tbl, binv, b):
-            x0 = jnp.zeros_like(b)
-            z0 = precond_apply(binv, b)
-            d0 = jax.lax.psum(
-                jnp.stack([jnp.vdot(b, z0), jnp.vdot(b, b)]), axis)
-            rz0, bb = d0[0], d0[1]
-            atol2 = (cg_tol * cg_tol) * bb
-
-            def cond(s):
-                _, _, _, _, _, rr, k = s
-                return jnp.logical_and(k < maxiter, rr > atol2)
-
-            def step(s):
-                x, r, z, p, rz, _, k = s
-                ap = matvec(tbl, p)
-                pap = jax.lax.psum(jnp.vdot(p, ap), axis)
-                alpha = rz / pap
-                x = x + alpha * p
-                r = r - alpha * ap
-                z = precond_apply(binv, r)
-                d = jax.lax.psum(
-                    jnp.stack([jnp.vdot(r, z), jnp.vdot(r, r)]), axis)
-                beta = d[0] / rz
-                p = z + beta * p
-                return (x, r, z, p, d[0], d[1], k + 1)
-
-            s0 = (x0, b, z0, z0, rz0, bb, jnp.asarray(0, jnp.int32))
-            out = jax.lax.while_loop(cond, step, s0)
-            return out[0]
-
-        p2_dof, l2_dof, p3_dof = edges[0], edges[1], edges[2]
+        st0 = unstack(state)
+        edges_l = unstack(edges)
+        maps_l = unstack(maps)
+        nbr = maps_l[3]
+        p2_dof, l2_dof, p3_dof = edges_l[0], edges_l[1], edges_l[2]
 
         def do_step(st, lam):
-            """One GN/LM trial step: (new_st, dx_norm2_global, chi2_cur)."""
-            tbl, b, chi2, binv = assemble(st, lam)
-            dx = pcg(tbl, binv, -b)  # rhs negation (rs:361)
-            dx_ext = _halo_exchange(dx, axis, D, ndof, h)
+            tbl, b, chi2, pstate = _assemble(dm, maps_l, edges_l, st, lam)
+            precond_fn = _make_precond(dm, maps_l, pstate)
+            dx, _ = _pcg(dm, tbl, nbr, precond_fn, -b)  # rhs neg (rs:361)
+            dx_ext = _halo_exchange(dx, dm.axis, dm.D, dm.ndof, dm.h)
             new_st = _retract(st, dx_ext, p2_dof, l2_dof, p3_dof)
-            norm2 = jax.lax.psum(jnp.vdot(dx, dx), axis)
+            norm2 = jax.lax.psum(jnp.vdot(dx, dx), dm.axis)
             return new_st, norm2, chi2
 
         def chi2_of(st):
-            return jax.lax.psum(_local_chi2(st, edges, dtype), axis)
+            return jax.lax.psum(_local_chi2(st, edges_l, dtype), dm.axis)
 
         def cond_loop(s):
             _, _, _, it, norm_dx, _ = s
@@ -370,7 +458,6 @@ def make_block_optimize(
             new_last = jnp.where(jnp.isnan(error), last, error)
             return (kept, lam, new_last, it + 1, jnp.sqrt(norm2), errors)
 
-        st0 = state
         errors = jnp.full(num_iterations + 1, jnp.nan, dtype)
         if lm:
             errors = errors.at[0].set(chi2_of(st0))
@@ -390,6 +477,7 @@ def make_block_optimize(
         st = jax.tree.map(lambda a: a[None], st)
         return st, errors, it
 
+    axis = dm.axis
     spec_state = tuple(P(axis) for _ in _STATE_FIELDS)
     spec_edges = tuple(P(axis) for _ in _EDGE_FIELDS)
     spec_maps = tuple(P(axis) for _ in _MAP_FIELDS)
@@ -408,17 +496,14 @@ def make_block_step(
     prior_weight: float = PRIOR_WEIGHT,
     cg_tol: float = 1e-12,
     cg_maxiter: int | None = None,
+    precond: str = "jacobi",
     dtype=jnp.float64,
 ):
     """One distributed GN step for oracle tests: returns jitted
     ``solve(state, edges, maps, lam) -> (dx (D, ndof), chi2)`` with dx in
     the PADDED global layout (use layout.padded_to_ref to compare)."""
-    axis = mesh.axis_names[0]
-    D = layout.num_devices
-    ndof, h, W = layout.ndof, layout.h, layout.ell_width
-    maxiter = cg_maxiter if cg_maxiter is not None else 2 * layout.n_pad
-    nseg = layout.n_segments
-    nb = layout.n_blocks
+    dm = _dims_from(layout, precond, prior_weight, cg_tol, cg_maxiter,
+                    dtype, mesh)
 
     def unstack(tree):
         return jax.tree.map(lambda a: a[0], tree)
@@ -426,64 +511,14 @@ def make_block_step(
     def body(state, edges, maps, lam):
         st = unstack(state)
         edges_l = unstack(edges)
-        (ell_order, ell_seg, ell_pos, nbr, diag_pos, pad_diag,
-         prior_diag, dof_block, dof_pos, blk_idx, blk_mask,
-         pad_eye) = unstack(maps)
-
-        vals, b_ext, chi2_loc = _local_values(st, edges_l, ndof, h, dtype)
-        seg_vals = jax.ops.segment_sum(
-            vals[ell_order], ell_seg, num_segments=nseg)
-        flat = jnp.zeros((ndof + 2 * h) * W + 1, dtype)
-        flat = flat.at[ell_pos].add(seg_vals)
-        tbl_ext = flat[:-1].reshape(ndof + 2 * h, W)
-        tbl = _halo_reduce(tbl_ext, axis, D, ndof, h)
-        b = _halo_reduce(b_ext[:, None], axis, D, ndof, h)[:, 0]
-        extra = lam + pad_diag + prior_weight * prior_diag
-        tbl_flat = tbl.reshape(-1).at[diag_pos].add(extra)
-        tbl = tbl_flat.reshape(ndof, W)
-        chi2 = jax.lax.psum(chi2_loc, axis)
-        blocks = jnp.where(blk_mask, tbl_flat[blk_idx], 0.0) + pad_eye
-        with jax.default_matmul_precision("highest"):
-            binv = jnp.linalg.inv(blocks)
-
-        def precond_apply(r):
-            rb = jnp.zeros((nb, 6), dtype).at[dof_block, dof_pos].set(r)
-            yb = jnp.einsum("kij,kj->ki", binv, rb,
-                            precision=jax.lax.Precision.HIGHEST)
-            return yb[dof_block, dof_pos]
-
-        def matvec(x):
-            x_ext = _halo_exchange(x, axis, D, ndof, h)
-            return jnp.sum(tbl * x_ext[nbr], axis=1)
-
-        b = -b  # rhs negation (rs:361)
-        x0 = jnp.zeros_like(b)
-        z0 = precond_apply(b)
-        d0 = jax.lax.psum(jnp.stack([jnp.vdot(b, z0), jnp.vdot(b, b)]),
-                          axis)
-        rz0, bb = d0[0], d0[1]
-        atol2 = (cg_tol * cg_tol) * bb
-
-        def cond(s):
-            return jnp.logical_and(s[6] < maxiter, s[5] > atol2)
-
-        def step(s):
-            x, r, z, p, rz, _, k = s
-            ap = matvec(p)
-            pap = jax.lax.psum(jnp.vdot(p, ap), axis)
-            alpha = rz / pap
-            x = x + alpha * p
-            r = r - alpha * ap
-            z = precond_apply(r)
-            d = jax.lax.psum(
-                jnp.stack([jnp.vdot(r, z), jnp.vdot(r, r)]), axis)
-            p = z + (d[0] / rz) * p
-            return (x, r, z, p, d[0], d[1], k + 1)
-
-        s0 = (x0, b, z0, z0, rz0, bb, jnp.asarray(0, jnp.int32))
-        dx = jax.lax.while_loop(cond, step, s0)[0]
+        maps_l = unstack(maps)
+        nbr = maps_l[3]
+        tbl, b, chi2, pstate = _assemble(dm, maps_l, edges_l, st, lam)
+        precond_fn = _make_precond(dm, maps_l, pstate)
+        dx, _ = _pcg(dm, tbl, nbr, precond_fn, -b)
         return dx[None], chi2
 
+    axis = dm.axis
     spec_state = tuple(P(axis) for _ in _STATE_FIELDS)
     spec_edges = tuple(P(axis) for _ in _EDGE_FIELDS)
     spec_maps = tuple(P(axis) for _ in _MAP_FIELDS)
@@ -537,6 +572,7 @@ def block_optimize(
     prior_weight: float = PRIOR_WEIGHT,
     cg_tol: float = 1e-10,
     cg_maxiter: int | None = None,
+    precond: str = "jacobi",
 ):
     """End-to-end convenience: build layout, run the one-program
     distributed optimization, return (graph', errors list, iterations)."""
@@ -546,7 +582,7 @@ def block_optimize(
     run = make_block_optimize(
         mesh, layout, num_iterations=num_iterations, solver=solver,
         tolerance=tolerance, prior_weight=prior_weight, cg_tol=cg_tol,
-        cg_maxiter=cg_maxiter, dtype=dtype,
+        cg_maxiter=cg_maxiter, precond=precond, dtype=dtype,
     )
     out_state, errors, it = run(state, edges, maps)
     new_graph = extract_graph(layout, graph, out_state)

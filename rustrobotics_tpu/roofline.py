@@ -1,0 +1,78 @@
+"""Roofline / MFU accounting for the PGO solver backends.
+
+BASELINE.md asks for "PGO iters/sec/chip at speed-of-light"; this module
+makes that claim checkable by counting the FLOPs each backend touches
+per Gauss-Newton iteration (analytic formulas from the static layout)
+and converting measured iteration times into achieved TFLOP/s and
+model-FLOP-utilization against the chip's peak.
+
+Peak numbers: TPU v5e ≈ 197 TFLOP/s bf16; full-f32 matmul passes run the
+MXU at ~1/4 of that (~49 TFLOP/s), which round-1 profiling confirmed is
+where XLA's dense Cholesky lands (docs/PERFORMANCE.md). The solver runs
+f32-with-highest-precision, so the f32 peak is the honest denominator.
+"""
+
+from __future__ import annotations
+
+# f32 (highest-precision matmul) peak per chip, FLOP/s
+PEAK_F32 = {
+    "tpu": 49.2e12,   # v5e: 197 bf16 / 4
+    "cpu": None,      # no meaningful single number; MFU reported as None
+}
+
+
+def banded_solve_flops(n: int, kb: int, nb: int) -> float:
+    """Banded blocked Cholesky solve (ops/band_chol.solve_band_chol):
+    per block row — chol kb^3/3, panel triangular solve kb^3, symmetric
+    update 2 kb^3; substitutions 4*2 kb^2 per row (lower order)."""
+    fact = nb * ((1.0 / 3.0 + 1.0 + 2.0) * kb**3)
+    subs = nb * (8.0 * kb**2)
+    return fact + subs
+
+
+def dense_solve_flops(n: int) -> float:
+    """Dense Cholesky n^3/3 + two triangular solves 2 n^2."""
+    return n**3 / 3.0 + 2.0 * n**2
+
+
+def schur_solve_flops(n_pose: int, n_lm: int) -> float:
+    """Schur elimination (solvers.solve_schur): W = Hll^-1 Hlp per
+    landmark (2x2 inverse + 2 x n_pose panel), S = Hpp - Hpl W
+    (2 n_pose^2 n_lm_dof), reduced dense Cholesky."""
+    nl_dof = 2 * n_lm
+    return (
+        n_lm * (8 + 2 * 2 * 2 * n_pose)          # Hll^-1, W panels
+        + 2.0 * n_pose * n_pose * nl_dof          # S formation
+        + dense_solve_flops(n_pose)
+    )
+
+
+def linearize_flops(n_pp: int, n_pl: int, n_qq: int) -> float:
+    """Per-edge residual+Jacobian+A^T Omega A work (entry-level count of
+    the SoA component products; ~small vs the solve)."""
+    return 600.0 * n_pp + 400.0 * n_pl + 6000.0 * n_qq
+
+
+def pgo_iteration_flops(graph, backend: str, band_layout=None) -> float:
+    """Total FLOPs of one GN iteration (linearize + assemble + solve)."""
+    n = graph.total_dof
+    lin = linearize_flops(
+        graph.pp_from.shape[0], graph.pl_pose.shape[0],
+        graph.qq_from.shape[0],
+    )
+    if backend == "banded-direct" and band_layout is not None:
+        solve = banded_solve_flops(n, band_layout.kb, band_layout.nb)
+    elif backend == "schur":
+        n_lm = graph.landmarks2.shape[0]
+        solve = schur_solve_flops(n - 2 * n_lm, n_lm)
+    else:
+        solve = dense_solve_flops(n)
+    return lin + solve
+
+
+def mfu(flops_per_sec: float, platform: str):
+    """Model FLOP utilization vs the platform's f32 peak (None on CPU)."""
+    peak = PEAK_F32.get(platform)
+    if not peak:
+        return None
+    return flops_per_sec / peak

@@ -65,11 +65,44 @@ def main():
     dx, chi2_before = solve(graph, jnp.asarray(0.0, jnp.float32))
     new_graph = apply_update_jit(graph, dx)
     chi2_after = error(new_graph)
+
+    # ---- full map-block distributed optimization across the process
+    # boundary: the whole GN loop is ONE jitted program whose ppermute
+    # halo exchanges and psum reductions cross processes (Gloo).
+    from rustrobotics_tpu.mapping.synthetic import (
+        synthetic_corridor_graph_2d,
+    )
+    from rustrobotics_tpu.parallel.block_layout import build_block_layout
+    from rustrobotics_tpu.parallel.pgo_blocks import (
+        layout_device_arrays,
+        make_block_optimize,
+    )
+
+    mesh_b = Mesh(np.array(jax.devices()), ("blocks",))
+    gb = synthetic_corridor_graph_2d(num_poses=256, num_landmarks=8,
+                                     dtype=jnp.float32)
+    layout = build_block_layout(gb, n_dev)
+    state, edges, maps_ = layout_device_arrays(layout, jnp.float32)
+    sh = NamedSharding(mesh_b, P("blocks"))
+
+    def put(t):
+        return tuple(jax.device_put(np.asarray(a), sh) for a in t)
+
+    run = make_block_optimize(
+        mesh_b, layout, num_iterations=8, tolerance=0.0, cg_tol=1e-6,
+        dtype=jnp.float32,
+    )
+    _, errors, it = run(put(state), put(edges), put(maps_))
+    errors = np.asarray(errors)
+
     out = {
         "chi2_before": float(chi2_before),
         "chi2_after": float(chi2_after),
         "dx_norm": float(jnp.linalg.norm(dx)),
         "devices": n_dev,
+        "block_chi2_first": float(errors[0]),
+        "block_chi2_final": float(errors[~np.isnan(errors)][-1]),
+        "block_iters": int(it),
     }
     if pid == 0:
         print("RESULT " + json.dumps(out), flush=True)

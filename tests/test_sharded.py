@@ -149,3 +149,19 @@ def test_multiprocess_distributed_matches_single_process(tmp_path):
     assert abs(got["chi2_before"] - float(chi2_before)) < 1e-2 * (
         1 + float(chi2_before))
     assert abs(got["chi2_after"] - chi2_after) < 1e-2 * (1 + chi2_after)
+
+    # full distributed optimize across the process boundary matches the
+    # single-process block path on the same graph
+    from rustrobotics_tpu.mapping.synthetic import (
+        synthetic_corridor_graph_2d,
+    )
+    from rustrobotics_tpu.parallel.pgo_blocks import block_optimize
+
+    gb = synthetic_corridor_graph_2d(num_poses=256, num_landmarks=8,
+                                     dtype=jnp.float32)
+    mesh_b = make_mesh(8, axis="blocks")
+    _, errs, _ = block_optimize(mesh_b, gb, num_iterations=8,
+                                tolerance=0.0, cg_tol=1e-6)
+    assert got["block_iters"] == 8
+    assert abs(got["block_chi2_final"] - errs[-1]) < 1e-2 * (1 + errs[-1]), (
+        got, errs[-1])
