@@ -154,6 +154,62 @@ def bench_pf_scale(results, num_particles=262144, steps=50):
     })
 
 
+def bench_pf_sharded(results, num_particles=1_048_576, steps=5):
+    """1M-particle cloud sharded over the 8-device mesh: propagate +
+    weight + bounded-exchange systematic resample per step. Records the
+    ring-hop count (comm volume = hops * local cloud bytes, vs the
+    full-gather variant's unconditional D-1 chunks)."""
+    import numpy as _np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from rustrobotics_tpu.localization.pf import ParticleFilter
+    from rustrobotics_tpu.models import (
+        SimpleProblemMeasurementModel,
+        SimpleProblemMotionModel,
+    )
+    from rustrobotics_tpu.parallel.pf_sharded import (
+        make_sharded_pf_step_bounded,
+    )
+
+    try:
+        cpus = jax.devices("cpu")
+    except RuntimeError:
+        return
+    if len(cpus) < 8:
+        return
+    mesh = Mesh(_np.asarray(cpus[:8]), ("shard",))
+    pf = ParticleFilter(
+        r=jnp.eye(4, dtype=jnp.float32) * 0.01,
+        q=jnp.eye(2, dtype=jnp.float32) * 0.1,
+        motion_model=SimpleProblemMotionModel.create(),
+        measurement_model=SimpleProblemMeasurementModel.create(),
+    )
+    sh = NamedSharding(mesh, P("shard"))
+    particles = jax.device_put(
+        _np.random.default_rng(0).normal(
+            size=(num_particles, 4)).astype(_np.float32) * 0.5, sh)
+    u = jax.device_put(_np.asarray([1.0, 0.1], _np.float32),
+                       NamedSharding(mesh, P()))
+    z = jax.device_put(_np.asarray([0.12, 0.03], _np.float32),
+                       NamedSharding(mesh, P()))
+    step = make_sharded_pf_step_bounded(mesh, pf, num_particles)
+
+    out, rounds = step(jax.random.key(0), particles, u, z, 0.1)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for k in range(steps):
+        out, rounds = step(jax.random.key(k + 1), out, u, z, 0.1)
+    jax.block_until_ready(out)
+    t = (time.perf_counter() - t0) / steps
+    results.append({
+        "metric": "pf_sharded_1m_bounded_exchange",
+        "value": round(num_particles / t / 1e6, 2),
+        "unit": "Mparticle-steps/s",
+        "ring_hops": int(rounds),
+        "note": "8-device cpu-mesh proxy",
+    })
+
+
 def bench_fixed_lag(results, window=32, steps=200):
     """Online sliding-window smoothing rate (W poses, 3 GN inner
     iterations + Schur marginalization per step)."""
@@ -337,6 +393,7 @@ def run_suite():
     bench_fixed_lag(results)
     bench_graph_slam(results)
     bench_block_scaling(results)
+    bench_pf_sharded(results)
     for r in results:
         r.setdefault("device", jax.devices()[0].platform)
         print(json.dumps(r))

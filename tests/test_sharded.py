@@ -100,6 +100,70 @@ def test_sharded_pf_matches_single_device_stats(mesh8):
     np.testing.assert_allclose(np.asarray(est_sh.x[:2]), np.asarray(z), atol=0.15)
 
 
+def test_bounded_exchange_resampling_matches_gather(mesh8):
+    """Ring-bounded redistribution == full-gather sharded resampling in
+    distribution, with comm rounds << D for balanced weights."""
+    from rustrobotics_tpu.parallel.pf_sharded import (
+        make_sharded_pf_step_bounded,
+    )
+
+    pf = ParticleFilter(
+        r=jnp.eye(4) * 0.01,
+        q=jnp.eye(2) * 0.1,
+        motion_model=SimpleProblemMotionModel.create(),
+        measurement_model=SimpleProblemMeasurementModel.create(),
+        resampling="systematic",
+    )
+    n = 4096
+    particles = jax.random.normal(jax.random.key(0), (n, 4)) * 0.5
+    u = jnp.array([1.0, 0.1])
+    z = jnp.array([0.12, 0.03])
+
+    step_b = make_sharded_pf_step_bounded(mesh8, pf, n)
+    out_b, rounds = step_b(jax.random.key(1), particles, u, z, 0.1)
+    step_g = make_sharded_pf_step(mesh8, pf, n)
+    out_g = step_g(jax.random.key(1), particles, u, z, 0.1)
+
+    est_b = gaussian_estimate(out_b)
+    est_g = gaussian_estimate(out_g)
+    np.testing.assert_allclose(np.asarray(est_b.x), np.asarray(est_g.x),
+                               atol=0.05)
+    np.testing.assert_allclose(np.asarray(est_b.cov),
+                               np.asarray(est_g.cov), atol=0.05)
+    # balanced weights: the exchange stays bounded (not a hidden gather)
+    assert int(rounds) <= 2, int(rounds)
+
+
+def test_bounded_exchange_resampling_skewed_weights(mesh8):
+    """All posterior mass on one shard: more ring hops, still correct —
+    every resampled particle must come from the heavy region."""
+    from rustrobotics_tpu.parallel.pf_sharded import (
+        make_sharded_pf_step_bounded,
+    )
+
+    pf = ParticleFilter(
+        r=jnp.eye(4) * 1e-6,  # negligible motion noise
+        q=jnp.eye(2) * 0.01,
+        motion_model=SimpleProblemMotionModel.create(),
+        measurement_model=SimpleProblemMeasurementModel.create(),
+        resampling="systematic",
+    )
+    n = 1024
+    # shard 7 holds the only particles near the observation
+    particles = jnp.concatenate([
+        jnp.broadcast_to(jnp.asarray([50.0, 50.0, 0.0, 0.0]),
+                         (n - n // 8, 4)),
+        jnp.broadcast_to(jnp.asarray([0.1, 0.0, 0.0, 0.0]), (n // 8, 4)),
+    ])
+    z = jnp.array([0.1, 0.0])
+    step_b = make_sharded_pf_step_bounded(mesh8, pf, n)
+    out, rounds = step_b(jax.random.key(3), particles,
+                         jnp.zeros(2), z, 1e-3)
+    out = np.asarray(out)
+    assert np.all(np.abs(out[:, 0] - 0.1) < 1.0), out[:, 0].max()
+    assert int(rounds) >= 1  # mass lived off-shard for most devices
+
+
 @pytest.mark.slow
 def test_multiprocess_distributed_matches_single_process(tmp_path):
     """True multi-host stand-in (SURVEY §4): two OS processes, each with 4
