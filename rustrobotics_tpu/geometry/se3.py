@@ -140,3 +140,8 @@ def log(pose):
 def identity(shape=(), dtype=jnp.float32):
     out = jnp.zeros(tuple(shape) + (7,), dtype=dtype)
     return out.at[..., 3].set(1.0)
+
+
+def transform(pose, points):
+    """Apply a (..., 7) pose to (..., 3) points: R(q) p + t."""
+    return pose[..., :3] + quat_rotate(pose[..., 3:], points)

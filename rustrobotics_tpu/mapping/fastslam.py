@@ -289,3 +289,134 @@ def fastslam_step_unknown(slam: FastSlam, key, particles: FastSlamParticles,
     particles = jax.tree.map(lambda a: a[idx], particles)
     return particles.replace(
         logw=jnp.where(do_resample, jnp.zeros_like(logw), logw))
+
+
+# --------------------------------------------------------- FastSLAM 2.0
+
+def _pose_jacobian_rb(m, mu):
+    """(N, 2, 3) Jacobian of the range-bearing measurement w.r.t. the
+    POSE, batched over particles (m (N, 3) poses, mu (N, 2) landmarks)."""
+    dx = mu[:, 0] - m[:, 0]
+    dy = mu[:, 1] - m[:, 1]
+    q = jnp.clip(dx * dx + dy * dy, 1e-12, None)
+    qs = jnp.sqrt(q)
+    zeros = jnp.zeros_like(dx)
+    return jnp.stack([
+        jnp.stack([-dx / qs, -dy / qs, zeros], -1),
+        jnp.stack([dy / q, -dx / q, -jnp.ones_like(dx)], -1),
+    ], -2)
+
+
+def fastslam2_step(slam: FastSlam, key, particles: FastSlamParticles,
+                   u, has_control, lm_idx, z, mask, dt,
+                   pose_noise_eps=1e-6) -> FastSlamParticles:
+    """FastSLAM 2.0 step (Probabilistic Robotics table 13.3): the pose
+    PROPOSAL incorporates the current measurements — the key upgrade over
+    1.0, whose proposal is the raw motion model and which therefore needs
+    many more particles when the motion is noisy relative to the sensor
+    (reference README.md Todo "FastSLAM 2.0", never implemented there).
+
+    Per particle, fully batched over the cloud:
+    1. deterministic motion predict x̂ = g(x, u) with pose-space noise
+       R = V M V^T (motion_model control-space noise through the input
+       Jacobian) + eps*I;
+    2. condition the pose Gaussian (m, S) on every valid measurement of
+       an already-seen landmark: L = Hx S Hx^T + Hm Σ_j Hm^T + Q,
+       K = S Hx^T L^-1 — the importance weight accumulates
+       logN(innov; 0, L) exactly at the proposal's prior, keeping the
+       weights consistent with the improved proposal;
+    3. sample the pose from N(m, S) (condition-then-sample-once variant
+       of the per-measurement incremental sampler — same target
+       distribution, one Cholesky);
+    4. standard per-landmark EKF updates at the sampled pose (weights NOT
+       double-counted), fresh landmarks initialized by inverse
+       measurement, ESS-gated systematic resample.
+    """
+    k_prop, k_resample = jax.random.split(key)
+    poses = particles.poses
+    dtype = poses.dtype
+    n = poses.shape[0]
+
+    # 1. deterministic predict + pose-space motion noise
+    x_hat = slam.motion_model.prediction(poses, u, dt)
+    v = jax.vmap(lambda p: slam.motion_model.jacobian_wrt_input(p, u, dt))(
+        poses)
+    mcov = slam.motion_model.cov_noise_control_space(u)
+    r_pose = jnp.einsum("nij,jk,nlk->nil", v, mcov, v) \
+        + jnp.eye(3, dtype=dtype) * pose_noise_eps
+
+    m0 = jnp.where(has_control, x_hat, poses)
+    s0 = jnp.where(has_control,
+                   jnp.broadcast_to(r_pose, (n, 3, 3)),
+                   jnp.eye(3, dtype=dtype) * pose_noise_eps)
+
+    # 2. condition the pose Gaussian on each seen-landmark measurement
+    def cond_body(carry, inp):
+        m, s, logw = carry
+        ki, zi, ok = inp
+        seen = particles.seen[jnp.arange(n), ki]
+        usable = jnp.logical_and(ok, seen)
+        mu = particles.lm_mu[jnp.arange(n), ki]
+        cov = particles.lm_cov[jnp.arange(n), ki]
+        dxy = mu - m[:, :2]
+        q = jnp.clip(jnp.sum(dxy * dxy, -1), 1e-12, None)
+        qs = jnp.sqrt(q)
+        z_pred = jnp.stack(
+            [qs, jnp.arctan2(dxy[:, 1], dxy[:, 0]) - m[:, 2]], -1)
+        innov = jnp.stack(
+            [zi[0] - z_pred[:, 0], wrap_angle(zi[1] - z_pred[:, 1])], -1)
+        hx = _pose_jacobian_rb(m, mu)                       # (N, 2, 3)
+        hm = -hx[:, :, :2]                                  # (N, 2, 2)
+        with jax.default_matmul_precision("highest"):
+            big_l = (jnp.einsum("nij,njk,nlk->nil", hx, s, hx)
+                     + jnp.einsum("nij,njk,nlk->nil", hm, cov, hm)
+                     + slam.q)
+            l_inv = jnp.linalg.inv(big_l)
+            det = (big_l[:, 0, 0] * big_l[:, 1, 1]
+                   - big_l[:, 0, 1] * big_l[:, 1, 0])
+            maha = jnp.einsum("ni,nij,nj->n", innov, l_inv, innov)
+            lw = -0.5 * (maha + jnp.log(jnp.clip(det, 1e-20, None))
+                         + 2 * jnp.log(2 * jnp.pi))
+            gain = jnp.einsum("nij,nkj,nkl->nil", s, hx, l_inv)
+            m_new = m + jnp.einsum("nij,nj->ni", gain, innov)
+            m_new = m_new.at[:, 2].set(wrap_angle(m_new[:, 2]))
+            s_new = s - jnp.einsum("nij,njk,nkl->nil", gain, big_l,
+                                   jnp.swapaxes(gain, -1, -2))
+        m = jnp.where(usable[:, None], m_new, m)
+        s = jnp.where(usable[:, None, None], s_new, s)
+        logw = logw + jnp.where(usable, lw, 0.0)
+        return (m, s, logw), None
+
+    (m, s, logw_new), _ = jax.lax.scan(
+        cond_body, (m0, s0, jnp.zeros(n, dtype)), (lm_idx, z, mask))
+
+    # 3. sample the pose from the conditioned proposal
+    with jax.default_matmul_precision("highest"):
+        chol = jnp.linalg.cholesky(
+            s + jnp.eye(3, dtype=dtype) * pose_noise_eps)
+    eps = jax.random.normal(k_prop, (n, 3), dtype)
+    sampled = m + jnp.einsum("nij,nj->ni", chol, eps)
+    sampled = sampled.at[:, 2].set(wrap_angle(sampled[:, 2]))
+    particles = particles.replace(poses=sampled)
+
+    # 4. landmark EKF updates at the sampled pose (weights already
+    # accounted by the proposal-consistent terms above)
+    def body(carry, inp):
+        parts, = carry
+        ki, zi, ok = inp
+        parts, _ = slam._update_one(parts, ki, zi, ok)
+        return (parts,), None
+
+    (particles,), _ = jax.lax.scan(
+        body, (particles,), (lm_idx, z, mask))
+
+    logw = particles.logw + logw_new
+    w = jnp.exp(logw - jnp.max(logw))
+    wn = w / jnp.sum(w)
+    ess = 1.0 / jnp.sum(wn * wn)
+    do_resample = ess < 0.5 * n
+    idx = jnp.where(do_resample, resample_systematic(k_resample, w),
+                    jnp.arange(n))
+    particles = jax.tree.map(lambda a: a[idx], particles)
+    return particles.replace(
+        logw=jnp.where(do_resample, jnp.zeros_like(logw), logw))
