@@ -188,17 +188,22 @@ def cmd_slam(args):
             landmarks = jnp.asarray(est_lms)
 
         state = _S()
-    elif args.method == "fastslam":
+    elif args.method in ("fastslam", "fastslam2"):
         import jax.numpy as jnp
 
         from rustrobotics_tpu.mapping.slam_replay import (
             run_slam_course_fastslam,
         )
 
-        parts, est_lm, seen = run_slam_course_fastslam(ds)
+        version = 2 if args.method == "fastslam2" else 1
+        # 2.0's measurement-driven proposal needs far fewer particles
+        parts, est_lm, seen = run_slam_course_fastslam(
+            ds, version=version,
+            num_particles=64 if version == 2 else 256)
         err = np.linalg.norm(est_lm - np.asarray(ds.landmarks), axis=-1)
         traj = np.asarray(parts.poses)[:0]  # final cloud, no trajectory
-        print(f"FastSLAM: {int(seen.sum())}/{len(ds.landmark_ids)} landmarks"
+        print(f"FastSLAM {version}.0: {int(seen.sum())}/"
+              f"{len(ds.landmark_ids)} landmarks"
               f", map error mean {err.mean():.3f} m / max {err.max():.3f} m")
 
         class _S:
@@ -300,7 +305,8 @@ def main(argv=None):
     sp = sub.add_parser("slam", help="SLAM on the slam_course dataset")
     common(sp)
     sp.add_argument("--dataset", default=None, help="slam_course directory")
-    sp.add_argument("--method", choices=["ekf", "pgo", "fastslam"],
+    sp.add_argument("--method",
+                    choices=["ekf", "pgo", "fastslam", "fastslam2"],
                     default="ekf",
                     help="online EKF-SLAM, batch graph SLAM, or FastSLAM")
     sp.add_argument("--plot", default=None, help="output PNG path")

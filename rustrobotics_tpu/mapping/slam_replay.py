@@ -85,11 +85,14 @@ def run_slam_course_fastslam(
     sensor_noise=(0.2, 0.1),
     seed: int = 0,
     dtype=jnp.float32,
+    version: int = 1,
 ):
-    """FastSLAM 1.0 replay of the slam_course log (this log's odometry is
-    nearly noise-free, hence the small default alphas). Returns
-    (FastSlamParticles, estimated landmark map (L, 2), seen mask)."""
-    from rustrobotics_tpu.mapping.fastslam import FastSlam
+    """FastSLAM replay of the slam_course log (this log's odometry is
+    nearly noise-free, hence the small default alphas). ``version=2``
+    uses the measurement-driven proposal (fastslam2_step), which holds
+    accuracy at much smaller clouds. Returns (FastSlamParticles,
+    estimated landmark map (L, 2), seen mask)."""
+    from rustrobotics_tpu.mapping.fastslam import FastSlam, fastslam2_step
     from rustrobotics_tpu.models.motion import OdometryMotionModel
 
     arr = dataset.arrays(dtype=np.dtype(dtype))
@@ -109,8 +112,13 @@ def run_slam_course_fastslam(
     def run(parts, keys, odom, slots_, z, mask):
         def body(p, ev):
             k, u, si, zi, mi = ev
-            return slam.step(k, p, u, jnp.asarray(True), si, zi, mi,
-                             jnp.asarray(0.0, dtype)), None
+            if version == 2:
+                p = fastslam2_step(slam, k, p, u, jnp.asarray(True),
+                                   si, zi, mi, jnp.asarray(0.0, dtype))
+            else:
+                p = slam.step(k, p, u, jnp.asarray(True), si, zi, mi,
+                              jnp.asarray(0.0, dtype))
+            return p, None
 
         return jax.lax.scan(body, parts, (keys, odom, slots_, z, mask))[0]
 
