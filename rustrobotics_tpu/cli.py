@@ -116,6 +116,28 @@ def cmd_pgo(args):
 
         init = chordal_init_se3 if graph.data.is_3d else chordal_init_se2
         graph.data = init(graph.data)
+    if args.distributed:
+        import jax
+
+        from rustrobotics_tpu.parallel import block_optimize, make_mesh
+
+        n_dev = min(args.distributed, len(jax.devices()))
+        mesh = make_mesh(n_dev, axis="blocks")
+        print(f"map-block distributed optimize over {n_dev} "
+              f"{jax.devices()[0].platform} device(s)")
+        # f32 (TPU) cannot reach 1e-10 residuals: an unreachable tol
+        # makes every CG run to maxiter
+        import jax.numpy as jnp
+
+        f64 = graph.data.poses2.dtype == jnp.float64
+        _, errors, it = block_optimize(
+            mesh, graph.data, num_iterations=args.iterations,
+            solver=solver, cg_tol=1e-10 if f64 else 1e-6,
+            cg_maxiter=4000,
+        )
+        print(f"converged in {it} iterations; "
+              f"chi2 {errors[0]:.1f} -> {errors[-1]:.5f}")
+        return
     if args.plot:
         os.makedirs(args.plot, exist_ok=True)
     errors = graph.optimize(
@@ -293,6 +315,9 @@ def main(argv=None):
                     help="M-estimator reweighting of outlier edges")
     sp.add_argument("--robust-delta", type=float, default=1.0)
     sp.add_argument("--plot", default=None, help="output directory for PNGs")
+    sp.add_argument("--distributed", type=int, default=0, metavar="N",
+                    help="map-block distributed optimize over N devices "
+                         "(parallel.block_optimize)")
     sp.set_defaults(fn=cmd_pgo)
 
     sp = sub.add_parser("pendulum", help="LQR inverted pendulum")

@@ -337,13 +337,23 @@ def fastslam2_step(slam: FastSlam, key, particles: FastSlamParticles,
     dtype = poses.dtype
     n = poses.shape[0]
 
-    # 1. deterministic predict + pose-space motion noise
+    # 1. deterministic predict + pose-space motion noise. MUST match the
+    # sample() noise model exactly (pose_noise_cov includes e.g. the
+    # velocity model's gamma heading diffusion): a proposal prior
+    # missing a noise dimension leaves dead-reckoning bias with zero
+    # spread to correct along, and the filter diverges on blind
+    # stretches with no visible landmarks.
     x_hat = slam.motion_model.prediction(poses, u, dt)
-    v = jax.vmap(lambda p: slam.motion_model.jacobian_wrt_input(p, u, dt))(
-        poses)
-    mcov = slam.motion_model.cov_noise_control_space(u)
-    r_pose = jnp.einsum("nij,jk,nlk->nil", v, mcov, v) \
-        + jnp.eye(3, dtype=dtype) * pose_noise_eps
+    if hasattr(slam.motion_model, "pose_noise_cov"):
+        r_pose = jax.vmap(
+            lambda p: slam.motion_model.pose_noise_cov(p, u, dt))(poses)
+    else:
+        v = jax.vmap(
+            lambda p: slam.motion_model.jacobian_wrt_input(p, u, dt))(
+                poses)
+        mcov = slam.motion_model.cov_noise_control_space(u)
+        r_pose = jnp.einsum("nij,jk,nlk->nil", v, mcov, v)
+    r_pose = r_pose + jnp.eye(3, dtype=dtype) * pose_noise_eps
 
     m0 = jnp.where(has_control, x_hat, poses)
     s0 = jnp.where(has_control,

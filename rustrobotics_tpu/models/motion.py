@@ -120,6 +120,25 @@ class VelocityMotionModel:
             axis=-2,
         )
 
+    def pose_noise_cov(self, x, u, dt):
+        """(3, 3) pose-space covariance of ONE ``sample`` step, matching
+        sample()'s actual noise model: V M V^T for the (v, w) channels
+        PLUS the gamma heading-diffusion term (variance
+        (a4 v^2 + a5 w^2) dt^2 on theta) that the input Jacobian cannot
+        express. Proposal distributions (FastSLAM 2.0) must use this —
+        V M V^T alone is rank-2 and leaves the heading bias direction
+        with no spread."""
+        v_jac = self.jacobian_wrt_input(x, u, dt)
+        m = self.cov_noise_control_space(u)
+        cov = v_jac @ m @ jnp.swapaxes(v_jac, -1, -2)
+        v2 = jnp.square(u[..., 0])
+        w2 = jnp.square(u[..., 1])
+        a = self.alpha
+        a4 = a[4] if a.shape[-1] > 4 else a[-1]
+        a5 = a[5] if a.shape[-1] > 5 else a[-1]
+        g_var = (a4 * v2 + a5 * w2) * dt * dt
+        return cov.at[..., 2, 2].add(g_var)
+
     def sample(self, key, x, u, dt):
         """Noisy propagation with the gamma heading term
         (reference: motion.rs:136-175). Accepts batched x for particle
@@ -280,6 +299,13 @@ class OdometryMotionModel:
             axis=-1,
         )
         return jax.vmap(jnp.diag)(v) if v.ndim > 1 else jnp.diag(v)
+
+    def pose_noise_cov(self, x, u, dt):
+        """(3, 3) pose-space covariance of one ``sample`` step
+        (V M V^T; the 3-dim odometry noise space is full rank)."""
+        v_jac = self.jacobian_wrt_input(x, u, dt)
+        m = self.cov_noise_control_space(u)
+        return v_jac @ m @ jnp.swapaxes(v_jac, -1, -2)
 
     def sample(self, key, x, u, dt):
         """Noisy odometry step for particle filters."""

@@ -588,3 +588,79 @@ def block_optimize(
     new_graph = extract_graph(layout, graph, out_state)
     errs = [float(e) for e in np.asarray(errors) if not np.isnan(e)]
     return new_graph, errs, int(it)
+
+
+def block_optimize_elastic(
+    mesh,
+    graph,
+    num_iterations: int = 50,
+    segment: int = 10,
+    checkpoint_dir=None,
+    resume: bool = True,
+    solver: str = "gauss_newton",
+    tolerance: float = 1e-4,
+    prior_weight: float = PRIOR_WEIGHT,
+    cg_tol: float = 1e-10,
+    cg_maxiter: int | None = None,
+    precond: str = "jacobi",
+):
+    """Preemption-safe distributed optimization (SURVEY §5 failure
+    detection / elastic recovery — the reference has nothing, its PGO
+    state lives in RAM for the whole optimize call).
+
+    The optimization runs as jitted SEGMENTS of ``segment`` iterations;
+    between segments the sharded node state + error trace snapshot to
+    ``checkpoint_dir`` (utils.checkpoint npz pytrees). After a crash or
+    preemption, calling again with ``resume=True`` restores the newest
+    snapshot and continues — the fault-injection test pins that the
+    resumed trajectory reaches the same optimum as an uninterrupted run.
+    (In LM mode the damping λ re-adapts at each segment boundary from
+    λ0 = 0.01; LM's accept/reject makes that safe, costing at most a few
+    rejected trials per resume.)
+
+    Returns (graph', errors list, iterations_done).
+    """
+    import pathlib
+
+    from rustrobotics_tpu.utils.checkpoint import (
+        restore_checkpoint,
+        save_checkpoint,
+    )
+
+    dtype = (graph.poses2.dtype if graph.poses2.size else graph.poses3.dtype)
+    layout = build_block_layout(graph, mesh.devices.size)
+    state, edges, maps = layout_device_arrays(layout, dtype)
+    run = make_block_optimize(
+        mesh, layout, num_iterations=segment, solver=solver,
+        tolerance=tolerance, prior_weight=prior_weight, cg_tol=cg_tol,
+        cg_maxiter=cg_maxiter, precond=precond, dtype=dtype,
+    )
+
+    start = 0
+    errors: list = []
+    ckdir = pathlib.Path(checkpoint_dir) if checkpoint_dir else None
+    if ckdir is not None and resume and ckdir.exists():
+        snaps = sorted(ckdir.glob("block_*.npz"))
+        if snaps:
+            template = (state, np.zeros(0))
+            (state, errs), step = restore_checkpoint(snaps[-1], template)
+            errors = [float(e) for e in np.asarray(errs)]
+            start = int(step or 0)
+
+    while start < num_iterations:
+        out_state, errs_seg, it_seg = run(state, edges, maps)
+        state = out_state
+        it_seg = int(it_seg)
+        seg = [float(e) for e in np.asarray(errs_seg) if not np.isnan(e)]
+        # the segment's first recorded chi2 equals the previous
+        # segment's final one — drop the duplicate when stitching
+        errors.extend(seg if not errors else seg[1:])
+        start += it_seg
+        if ckdir is not None:
+            save_checkpoint(
+                ckdir / f"block_{start:06d}.npz",
+                (state, np.asarray(errors)), step=start,
+            )
+        if it_seg < segment:
+            break  # |dx| < tolerance inside the segment
+    return extract_graph(layout, graph, state), errors, start

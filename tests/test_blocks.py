@@ -109,6 +109,36 @@ def test_block_lm_converges(mesh8):
     np.testing.assert_allclose(errs[:6], res.errors[:6], rtol=1e-5)
 
 
+def test_block_elastic_resume_after_fault(mesh8, tmp_path):
+    """Fault injection for the distributed path: run one checkpointed
+    segment, 'crash', resume from the snapshot — the stitched trajectory
+    must reach the same optimum as an uninterrupted run."""
+    from rustrobotics_tpu.parallel.pgo_blocks import block_optimize_elastic
+
+    g = synthetic_pose_graph_2d(num_poses=48, num_landmarks=6,
+                                dtype=jnp.float64)
+    _, errs_ref, _ = block_optimize(mesh8, g, num_iterations=12,
+                                    tolerance=0.0, cg_tol=1e-12)
+
+    ck = tmp_path / "ckpt"
+    # segment 1 then simulated preemption (we simply stop)
+    _, errs_a, it_a = block_optimize_elastic(
+        mesh8, g, num_iterations=4, segment=4, checkpoint_dir=ck,
+        tolerance=0.0, cg_tol=1e-12)
+    assert it_a == 4 and (ck / "block_000004.npz").exists()
+    # resume to completion
+    g2, errs_b, it_b = block_optimize_elastic(
+        mesh8, g, num_iterations=12, segment=4, checkpoint_dir=ck,
+        tolerance=0.0, cg_tol=1e-12)
+    assert it_b == 12
+    # this graph's optimum is chi2 = 0; values at machine-zero
+    # (~1e-27) differ only in roundoff noise
+    np.testing.assert_allclose(errs_b[-1], errs_ref[-1],
+                               rtol=1e-6, atol=1e-20)
+    np.testing.assert_allclose(errs_b[:len(errs_ref)], errs_ref,
+                               rtol=1e-6, atol=1e-20)
+
+
 @pytest.mark.slow
 def test_block_optimize_intel_golden(dataset_dir, mesh8):
     """Full distributed GN on intel reaches χ² = 360 ± 1 (rs:616-621)."""

@@ -119,20 +119,25 @@ def test_eif_kc_localizes_with_landmarks():
 
 # ----------------------------------------------------------- FastSLAM 2
 
-def _fastslam_sim(steps=220, num_landmarks=6, seed=0):
+def _fastslam_sim(steps=220, num_landmarks=6, seed=0,
+                  unoise=(0.2, 0.12), vis_r=9.0):
+    """Measurement-rich loop with NOISY controls: landmarks sit on the
+    robot's v/omega circle, so several are always visible — the regime
+    where FastSLAM 2.0's measurement-driven proposal beats 1.0's
+    motion-model proposal at small particle counts."""
     rng = np.random.default_rng(seed)
     lms = np.stack([
-        6.0 * np.cos(np.linspace(0, 2 * np.pi, num_landmarks,
+        5.6 * np.cos(np.linspace(0, 2 * np.pi, num_landmarks,
                                  endpoint=False)),
-        6.0 * np.sin(np.linspace(0, 2 * np.pi, num_landmarks,
+        5.6 * np.sin(np.linspace(0, 2 * np.pi, num_landmarks,
                                  endpoint=False)),
-    ], -1)
+    ], -1) + np.array([0.0, 5.6])
     dt = 0.1
     pose = np.zeros(3)
     events = []
     for t in range(steps):
         u = np.array([1.0, 0.18])
-        noisy_u = u + rng.normal(size=2) * [0.08, 0.04]
+        noisy_u = u + rng.normal(size=2) * unoise
         th = pose[2]
         pose = np.array([
             pose[0] + noisy_u[0] * dt * np.cos(th),
@@ -141,7 +146,7 @@ def _fastslam_sim(steps=220, num_landmarks=6, seed=0):
         ])
         d = lms - pose[:2]
         rngs = np.linalg.norm(d, axis=1)
-        vis = rngs < 5.0
+        vis = rngs < vis_r
         z = np.stack([
             rngs + rng.normal(size=len(lms)) * 0.08,
             np.arctan2(d[:, 1], d[:, 0]) - pose[2]
@@ -165,34 +170,37 @@ def test_fastslam2_tracks_with_few_particles():
     lms, events, dt = _fastslam_sim()
     slam = FastSlam.create(
         q=jnp.diag(jnp.asarray([0.08, 0.04])) ** 2,
+        # 6 alphas: the last two drive the gamma heading diffusion that
+        # pose_noise_cov must reproduce in the 2.0 proposal
         motion_model=VelocityMotionModel.create(
-            jnp.asarray([0.08, 0.02, 0.04, 0.01])),
+            jnp.asarray([0.04, 0.02, 0.015, 0.008, 0.008, 0.004])),
         max_landmarks=len(lms),
     )
-    n = 24  # deliberately tiny cloud
+    n = 12  # deliberately tiny cloud
 
     def run(step_fn):
+        step = jax.jit(step_fn)  # compile ONCE; replay the event stream
         parts = slam.init_particles(jax.random.key(0), jnp.zeros(3), n)
         errs = []
         for i, (u, ids, z, vis, pose_true) in enumerate(events):
-            parts = step_fn(
+            parts = step(
                 jax.random.fold_in(jax.random.key(1), i), parts,
-                jnp.asarray(u), True, jnp.asarray(ids, jnp.int32),
-                jnp.asarray(z), jnp.asarray(vis), dt)
+                jnp.asarray(u), jnp.asarray(ids, jnp.int32),
+                jnp.asarray(z), jnp.asarray(vis))
             est, _, _ = slam.estimate(parts)
             errs.append(np.linalg.norm(np.asarray(est[:2])
                                        - pose_true[:2]))
         return np.asarray(errs)
 
-    err2 = run(lambda k, p, u, hc, ids, z, m, dt_: fastslam2_step(
-        slam, k, p, u, hc, ids, z, m, dt_))
-    err1 = run(lambda k, p, u, hc, ids, z, m, dt_: slam.step(
-        k, p, u, hc, ids, z, m, dt_))
+    err2 = run(lambda k, p, u, ids, z, m: fastslam2_step(
+        slam, k, p, u, True, ids, z, m, dt))
+    err1 = run(lambda k, p, u, ids, z, m: slam.step(
+        k, p, u, True, ids, z, m, dt))
 
-    # 2.0 stays accurate with 24 particles
-    assert err2[-40:].mean() < 0.5, err2[-40:].mean()
-    # and does not lose to 1.0 at equal cloud size
-    assert err2[-40:].mean() <= err1[-40:].mean() * 1.25, (
+    # 2.0 stays accurate with 12 particles (measured 0.18 m)...
+    assert err2[-40:].mean() < 0.35, err2[-40:].mean()
+    # ...and clearly beats 1.0 at this budget (measured 0.42 m)
+    assert err2[-40:].mean() <= err1[-40:].mean() * 0.8, (
         err2[-40:].mean(), err1[-40:].mean())
 
 
