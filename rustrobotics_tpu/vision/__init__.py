@@ -15,6 +15,8 @@ from rustrobotics_tpu.vision.cameras import (  # noqa: F401
 )
 from rustrobotics_tpu.vision.calibrate import (  # noqa: F401
     dlt_camera,
+    distort_points,
+    estimate_radial_distortion,
     homography,
     zhang_calibrate,
 )
@@ -22,4 +24,8 @@ from rustrobotics_tpu.vision.triangulate import (  # noqa: F401
     triangulate,
     triangulate_pair,
 )
-from rustrobotics_tpu.vision.p3p import p3p, p3p_best  # noqa: F401
+from rustrobotics_tpu.vision.p3p import (  # noqa: F401
+    p3p,
+    p3p_best,
+    pnp_ransac,
+)

@@ -136,3 +136,53 @@ def zhang_calibrate(object_points, image_points):
 
     rs, ts = jax.vmap(extrinsics)(hs)
     return k, rs, ts, hs
+
+
+def estimate_radial_distortion(k, rs, ts, object_points, image_points):
+    """Zhang's second stage: (k1, k2) radial distortion by linear least
+    squares, given the closed-form intrinsics/extrinsics.
+
+    The distorted pixel obeys u_d = u + (u - u0)(k1 r^2 + k2 r^4) with
+    r^2 the squared NORMALIZED radius of the ideal projection — linear
+    in (k1, k2), so all views' constraints stack into one (2VN, 2) LS
+    solve (batched einsums, one lstsq).
+    """
+    u0, v0 = k[0, 2], k[1, 2]
+    obj3 = jnp.concatenate(
+        [object_points,
+         jnp.zeros((*object_points.shape[:-1], 1), object_points.dtype)],
+        -1)
+
+    def one_view(r, t, img):
+        cam = obj3 @ r.T + t                       # (N, 3)
+        xn = cam[:, 0] / cam[:, 2]
+        yn = cam[:, 1] / cam[:, 2]
+        r2 = xn * xn + yn * yn
+        uvw = (k @ jnp.stack([xn, yn, jnp.ones_like(xn)])).T
+        u = uvw[:, 0] / uvw[:, 2]
+        v = uvw[:, 1] / uvw[:, 2]
+        a_rows = jnp.concatenate([
+            jnp.stack([(u - u0) * r2, (u - u0) * r2 * r2], -1),
+            jnp.stack([(v - v0) * r2, (v - v0) * r2 * r2], -1),
+        ])
+        b_rows = jnp.concatenate([img[:, 0] - u, img[:, 1] - v])
+        return a_rows, b_rows
+
+    a, b = jax.vmap(one_view)(rs, ts, image_points)
+    a = a.reshape(-1, 2)
+    b = b.reshape(-1)
+    with jax.default_matmul_precision("highest"):
+        sol, *_ = jnp.linalg.lstsq(a, b)
+    return sol  # (k1, k2)
+
+
+def distort_points(k, k1, k2, uv):
+    """Apply the radial model to ideal pixels uv (N, 2)."""
+    u0 = jnp.asarray([k[0, 2], k[1, 2]])
+    # normalized radius of the ideal point
+    with jax.default_matmul_precision("highest"):
+        xy1 = jnp.concatenate(
+            [uv, jnp.ones((*uv.shape[:-1], 1), uv.dtype)], -1)
+        xn = jnp.linalg.solve(k, xy1.T).T
+    r2 = jnp.sum(xn[:, :2] ** 2, -1, keepdims=True)
+    return uv + (uv - u0) * (k1 * r2 + k2 * r2 * r2)

@@ -158,3 +158,46 @@ def p3p_best(world_pts, bearings, extra_pt, extra_bearing):
     errs = jax.vmap(score)(rs, ts, oks)
     best = jnp.argmin(errs)
     return rs[best], ts[best]
+
+
+def pnp_ransac(world_pts, bearings, key, num_hypotheses: int = 256,
+               inlier_cos: float = 0.9998):
+    """Robust PnP: batched-RANSAC over P3P minimal samples.
+
+    TPU shape: a FIXED batch of ``num_hypotheses`` random 3-point
+    samples, each solved by (vmapped) closed-form P3P, every candidate
+    pose scored against ALL points in one einsum — no data-dependent
+    loops, the whole estimator is one jittable program. The best pose by
+    inlier count (angular gate ``inlier_cos`` on the bearing agreement)
+    is refined by an SVD alignment on its inliers.
+
+    world_pts (N, 3), bearings (N, 3) unit camera-frame rays.
+    Returns (R, t, inlier_mask (N,)).
+    """
+    n = world_pts.shape[0]
+    ks, _ = jax.random.split(key)
+    # random distinct-ish triples (collisions merely waste a hypothesis)
+    idx = jax.random.randint(ks, (num_hypotheses, 3), 0, n)
+
+    def solve_one(tri):
+        rs, ts, oks = p3p(world_pts[tri], bearings[tri])
+        pc = jnp.einsum("hij,nj->hni", rs, world_pts) + ts[:, None, :]
+        pc = pc / jnp.clip(
+            jnp.linalg.norm(pc, axis=-1, keepdims=True), 1e-12, None)
+        agree = jnp.einsum("hni,ni->hn", pc, bearings)
+        inl = (agree > inlier_cos) & (pc[..., 2] > 0)
+        counts = jnp.where(oks, jnp.sum(inl, axis=1), -1)
+        best = jnp.argmax(counts)
+        return rs[best], ts[best], counts[best], inl[best]
+
+    rs, ts, counts, inls = jax.vmap(solve_one)(idx)
+    best = jnp.argmax(counts)
+    r, t, inl = rs[best], ts[best], inls[best]
+
+    # refinement: weighted absolute orientation on the inliers, using
+    # each inlier's depth along its measured ray as the camera point
+    depth = jnp.einsum("ni,ni->n", world_pts @ r.T + t, bearings)
+    cam_pts = bearings * depth[:, None]
+    w = inl.astype(world_pts.dtype)
+    r2, t2 = rigid_align(world_pts, cam_pts, w)
+    return r2, t2, inl

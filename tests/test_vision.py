@@ -114,6 +114,65 @@ def test_p3p_recovers_pose():
     np.testing.assert_allclose(np.asarray(t_est), t, atol=1e-3)
 
 
+def test_pnp_ransac_with_outliers():
+    """Batched-RANSAC PnP recovers the pose with 30% gross outlier
+    correspondences (fixed hypothesis batch, one jittable program)."""
+    from rustrobotics_tpu.vision import pnp_ransac
+
+    rng = np.random.default_rng(6)
+    r = _rot(0.15, -0.25, 0.3)
+    t = np.array([0.1, 0.2, 1.2])
+    world = rng.uniform(-1, 1, size=(60, 3)) + np.array([0, 0, 3.0])
+    cam = world @ r.T + t
+    bearings = cam / np.linalg.norm(cam, axis=1, keepdims=True)
+    # corrupt 30%
+    bad = rng.choice(60, size=18, replace=False)
+    noise_dirs = rng.normal(size=(18, 3))
+    bearings[bad] = noise_dirs / np.linalg.norm(noise_dirs, axis=1,
+                                               keepdims=True)
+    r_est, t_est, inl = jax.jit(
+        lambda w, b, k: pnp_ransac(w, b, k, num_hypotheses=256)
+    )(jnp.asarray(world), jnp.asarray(bearings), jax.random.key(0))
+    np.testing.assert_allclose(np.asarray(r_est), r, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(t_est), t, atol=2e-2)
+    inl = np.asarray(inl)
+    assert inl.sum() >= 38 and not inl[bad].any()
+
+
+def test_zhang_radial_distortion():
+    """(k1, k2) recovered from synthetically distorted views."""
+    from rustrobotics_tpu.vision import (
+        distort_points,
+        estimate_radial_distortion,
+    )
+
+    rng = np.random.default_rng(7)
+    gx, gy = np.meshgrid(np.arange(9) * 0.03, np.arange(7) * 0.03)
+    obj = np.stack([gx.ravel(), gy.ravel()], -1)
+    obj3 = np.concatenate([obj, np.zeros((len(obj), 1))], 1)
+    k1, k2 = -0.25, 0.08
+
+    views, rs, ts = [], [], []
+    for spec in [(0.15, -0.2, 0.05, 0.02, 0.01, 0.45),
+                 (-0.25, 0.1, -0.1, -0.05, 0.03, 0.5),
+                 (0.1, 0.3, 0.2, 0.03, -0.04, 0.4)]:
+        r = _rot(*spec[:3])
+        t = np.array(spec[3:])
+        p = projection_matrix(jnp.asarray(K), jnp.asarray(r),
+                              jnp.asarray(t))
+        uv = project(p, jnp.asarray(obj3))
+        views.append(np.asarray(distort_points(jnp.asarray(K), k1, k2, uv))
+                     + rng.normal(size=uv.shape) * 0.02)
+        rs.append(r)
+        ts.append(t)
+
+    sol = estimate_radial_distortion(
+        jnp.asarray(K), jnp.asarray(np.stack(rs)),
+        jnp.asarray(np.stack(ts)), jnp.asarray(obj),
+        jnp.asarray(np.stack(views)))
+    np.testing.assert_allclose(np.asarray(sol), [k1, k2], atol=0.02)
+
+
 def test_triangulation():
     rng = np.random.default_rng(4)
     pts = rng.uniform(-1, 1, size=(50, 3)) + np.array([0, 0, 4.0])
