@@ -36,7 +36,9 @@ import numpy as np
 # order [ii, ij, ji, jj] — must match pgo_blocks._local_values exactly.
 _PP_QUADS = [(3, 3), (3, 3), (3, 3), (3, 3)]
 _PL_QUADS = [(3, 3), (3, 2), (2, 3), (2, 2)]
+_PL_QUADS_SCHUR = [(3, 3)]   # only the pose-pose (ii) quadrant stays in H
 _QQ_QUADS = [(6, 6), (6, 6), (6, 6), (6, 6)]
+_PAIR_QUADS = [(3, 3)]       # landmark-clique fill blocks
 
 
 @dataclasses.dataclass(frozen=True)
@@ -80,6 +82,10 @@ class BlockLayout:
     qq_omega: np.ndarray    # (D, Eqq, 6, 6)
 
     # --- per-device assembly maps ---
+    schur: bool             # landmark elimination mode
+    pair_a: np.ndarray      # (D, Q) int32 obs-pair lists (schur fill)
+    pair_b: np.ndarray      # (D, Q) int32
+    lm_ind: np.ndarray      # (D, ndof) f64 1.0 on owned-landmark dofs
     ell_order: np.ndarray   # (D, T) int32 permutation of local triplets
     ell_seg: np.ndarray     # (D, T) int32 segment id (dedup groups)
     n_segments: int         # TD (incl. one trash segment)
@@ -141,8 +147,19 @@ def _quad_rowcols(off_i, off_j, quads):
     return np.concatenate(rows), np.concatenate(cols)
 
 
-def build_block_layout(graph, num_devices: int) -> BlockLayout:
-    """Build the static map-block layout for ``num_devices`` devices."""
+def build_block_layout(graph, num_devices: int,
+                       schur: bool = False) -> BlockLayout:
+    """Build the static map-block layout for ``num_devices`` devices.
+
+    ``schur=True`` builds the DISTRIBUTED SCHUR variant: 2D landmark
+    blocks are eliminated per-device before the halo-CG (SURVEY §5's
+    "Schur-eliminate landmarks" in the distributed solve). pl edges
+    are then assigned to the LANDMARK's owner (all of a landmark's
+    observations live on one device), the reduced pose system gains
+    the landmark-clique fill blocks (host-precomputed observation
+    pair lists), the halo covers the clique span, and landmark rows
+    carry identity diagonals (their dx comes from local
+    back-substitution, not CG)."""
     D = num_devices
     n2 = graph.poses2.shape[0]
     l2 = graph.landmarks2.shape[0]
@@ -212,6 +229,16 @@ def build_block_layout(graph, num_devices: int) -> BlockLayout:
     for gi, gj in [(pp_i, pp_j), (pl_i, pl_j), (qq_i, qq_j)]:
         if len(gi):
             all_spans.append(spans(gi, gj))
+    if schur and len(pl_i):
+        # Schur fill connects every pair of poses co-observing a
+        # landmark: the halo must cover the widest such clique
+        o_lm = np.argsort(pl_j, kind="stable")
+        lj_s, li_s = pl_j[o_lm], pl_i[o_lm]
+        starts = np.searchsorted(lj_s, np.unique(lj_s))
+        ps = pstart[li_s]
+        pmin = np.minimum.reduceat(ps, starts)
+        pmax = np.maximum.reduceat(ps + 3, starts)
+        all_spans.append(pmax - pmin)
     h = int(max((s.max() for s in all_spans if len(s)), default=0))
     if D == 1:
         h = 0
@@ -230,7 +257,8 @@ def build_block_layout(graph, num_devices: int) -> BlockLayout:
     node_end = pstart + node_size
     for d in range(D):
         lo, hi = d * ndof - h, (d + 1) * ndof + h
-        in_ext = np.where((pstart >= d * ndof) & (node_end <= hi))[0]
+        state_lo = lo if schur else d * ndof
+        in_ext = np.where((pstart >= state_lo) & (node_end <= hi))[0]
         entry = {0: [], 1: [], 2: []}
         lut = {}
         for g in in_ext:
@@ -270,11 +298,16 @@ def build_block_layout(graph, num_devices: int) -> BlockLayout:
         lo = np.minimum(pstart[gi], pstart[gj])
         return (lo // ndof).astype(np.int32)
 
-    def split_edges(gi, gj, z, om, fam_t):
+    def split_edges(gi, gj, z, om, fam_t, by_owner_of=None):
         """Per-device typed-ext endpoint indices + measurements, padded."""
         z = np.asarray(z, np.float64)
         om = np.asarray(om, np.float64)
-        dev = assign(gi, gj) if len(gi) else np.zeros(0, np.int32)
+        if len(gi) == 0:
+            dev = np.zeros(0, np.int32)
+        elif by_owner_of is not None:
+            dev = owner[by_owner_of].astype(np.int32)
+        else:
+            dev = assign(gi, gj)
         idx_by_dev = [np.where(dev == d)[0] for d in range(D)]
         e_max = max(max(len(ix) for ix in idx_by_dev), 1)
         fr = np.zeros((D, e_max), np.int32)
@@ -294,7 +327,8 @@ def build_block_layout(graph, num_devices: int) -> BlockLayout:
         return fr, to, zz, oo, real
 
     pp = split_edges(pp_i, pp_j, graph.pp_z, graph.pp_omega, (0, 0))
-    pl = split_edges(pl_i, pl_j, graph.pl_z, graph.pl_omega, (0, 1))
+    pl = split_edges(pl_i, pl_j, graph.pl_z, graph.pl_omega, (0, 1),
+                     by_owner_of=pl_j if schur else None)
     qq = split_edges(qq_i, qq_j, graph.qq_z, graph.qq_omega, (2, 2))
     # pad SE3 measurements -> identity transform, [t, q_wxyz] layout
     # (see p3_state0 note)
@@ -311,18 +345,63 @@ def build_block_layout(graph, num_devices: int) -> BlockLayout:
         mask = np.tile(real[d], nrep)
         return r, c, mask
 
+    # observation-pair lists for the Schur fill (indices into the
+    # device's padded pl edge array; pads route to the trash slot)
+    if schur:
+        pa_lists, pb_lists = [], []
+        for d in range(D):
+            sl, m = pl[1][d], pl[4][d]
+            pa, pb = [], []
+            for s in np.unique(sl[m]):
+                grp = np.where(m & (sl == s))[0]
+                gi_, gj_ = np.meshgrid(grp, grp, indexing="ij")
+                pa.append(gi_.ravel())
+                pb.append(gj_.ravel())
+            pa_lists.append(np.concatenate(pa) if pa
+                            else np.zeros(0, np.int64))
+            pb_lists.append(np.concatenate(pb) if pb
+                            else np.zeros(0, np.int64))
+        q_max = max(max(len(a) for a in pa_lists), 1)
+        pair_a = np.zeros((D, q_max), np.int32)
+        pair_b = np.zeros((D, q_max), np.int32)
+        pair_real = np.zeros((D, q_max), bool)
+        for d in range(D):
+            k = len(pa_lists[d])
+            pair_a[d, :k] = pa_lists[d]
+            pair_b[d, :k] = pb_lists[d]
+            pair_real[d, :k] = True
+    else:
+        pair_a = np.zeros((D, 1), np.int32)
+        pair_b = np.zeros((D, 1), np.int32)
+        pair_real = np.zeros((D, 1), bool)
+
+    pl_quads = _PL_QUADS_SCHUR if schur else _PL_QUADS
     dev_triplets = []
     for d in range(D):
         rs, cs, ms = [], [], []
         for fam, ti, tj, quads in [
             (pp, p2_dof, p2_dof, _PP_QUADS),
-            (pl, p2_dof, l2_dof, _PL_QUADS),
+            (pl, p2_dof, l2_dof, pl_quads),
             (qq, p3_dof, p3_dof, _QQ_QUADS),
         ]:
             r, c, m = fam_rowcols(d, fam, ti, tj, quads)
             rs.append(r)
             cs.append(c)
             ms.append(m)
+        if schur:
+            # fill blocks between the pose endpoints of each obs pair:
+            # rows from pair_a's pose, COLS from pair_b's pose (k-major
+            # entry order, matching the kernel's _em(prod) emission)
+            off = p2_dof[d][pl[0][d]].astype(np.int64)
+            off_a, off_b = off[pair_a[d]], off[pair_b[d]]
+            rs_p, cs_p = [], []
+            for k in range(3):
+                for l in range(3):  # noqa: E741
+                    rs_p.append(off_a + k)
+                    cs_p.append(off_b + l)
+            rs.append(np.concatenate(rs_p))
+            cs.append(np.concatenate(cs_p))
+            ms.append(np.tile(pair_real[d], 9))
         dev_triplets.append((np.concatenate(rs), np.concatenate(cs),
                              np.concatenate(ms)))
     t_len = len(dev_triplets[0][0])
@@ -415,6 +494,15 @@ def build_block_layout(graph, num_devices: int) -> BlockLayout:
         d = int(owner[prior_node])
         s = int(pstart[prior_node]) - d * ndof
         prior_diag[d, s:s + int(node_size[prior_node])] = 1.0
+    # owned-landmark dofs (schur: identity rows in the reduced system,
+    # no LM damping — their dx comes from local back-substitution)
+    lm_ind = np.zeros((D, ndof))
+    if schur:
+        for d in range(D):
+            for i in range(l2_dof.shape[1]):
+                if l2_owned[d, i]:
+                    s = int(l2_dof[d, i]) - h
+                    lm_ind[d, s:s + 2] = 1.0
 
     # ---- block-Jacobi maps (vectorized over all blocks) ---------------
     # blocks per device = owned nodes (in RCM position order) + pseudo
@@ -529,6 +617,7 @@ def build_block_layout(graph, num_devices: int) -> BlockLayout:
         pp_from=pp[0], pp_to=pp[1], pp_z=pp[2], pp_omega=pp[3],
         pl_pose=pl[0], pl_lm=pl[1], pl_z=pl[2], pl_omega=pl[3],
         qq_from=qq[0], qq_to=qq[1], qq_z=qq[2], qq_omega=qq[3],
+        schur=schur, pair_a=pair_a, pair_b=pair_b, lm_ind=lm_ind,
         ell_order=orders, ell_seg=segs, n_segments=n_segments,
         ell_pos=ell_pos, nbr=nbr_loc, diag_pos=diag_pos,
         pad_diag=pad_diag, prior_diag=prior_diag,

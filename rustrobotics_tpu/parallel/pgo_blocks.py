@@ -82,11 +82,13 @@ def _halo_exchange(x, axis, D, ndof, h):
     return x_ext
 
 
-def _halo_reduce(buf, axis, D, ndof, h):
+def _halo_reduce(buf, axis, D, ndof, h, two_sided=False):
     """Ext-row buffer (ndof + 2h, ...) -> owned (ndof, ...) with the
     bottom-halo contributions ppermute-added to their owning device.
-    Assembly writes only rows >= h (edges are assigned to the device
-    owning their lower endpoint), so the reduction is one-sided."""
+    Min-endpoint edge assignment writes only rows >= h, so the default
+    reduction is one-sided; schur mode (pl edges assigned to the
+    landmark's owner + clique fill) also writes TOP-halo rows owned by
+    left neighbors — ``two_sided`` adds the mirrored reduction."""
     owned = buf[h:h + ndof]
     if h == 0 or D == 1:
         return owned
@@ -100,6 +102,18 @@ def _halo_reduce(buf, axis, D, ndof, h):
             chunk, axis, [(i, i + k) for i in range(D - k)]
         )
         owned = owned.at[:ln].add(recv)
+        if two_sided:
+            # my ext rows [lo_e, hi_e) belong to device d-k; it adds
+            # them at the TAIL of its owned range
+            lo_e = max(0, h - k * ndof)
+            hi_e = max(0, h - (k - 1) * ndof)
+            if hi_e > lo_e:
+                chunk_t = buf[lo_e:hi_e]
+                recv_t = jax.lax.ppermute(
+                    chunk_t, axis, [(i + k, i) for i in range(D - k)]
+                )
+                dst = k * ndof - h + lo_e
+                owned = owned.at[dst:dst + (hi_e - lo_e)].add(recv_t)
     return owned
 
 
@@ -119,21 +133,34 @@ def _em(blocks):
     return jnp.transpose(blocks, (1, 2, 0)).ravel()
 
 
-def _local_values(st, ed, ndof, h, dtype):
-    """Per-device linearization: (vals (T,), b_ext (ndof+2h,), chi2).
+def _local_values(st, ed, ndof, h, dtype, lam=0.0,
+                  schur_pairs=None):
+    """Per-device linearization: (vals (T,), b_ext (ndof+2h,), chi2,
+    schur_state).
 
     Emission order MUST match block_layout's triplet construction:
-    families [pp, pl, qq], quadrants [ii, ij, ji, jj], entries k-major.
-    Mirrors assemble.system_values (the single-device oracle).
+    families [pp, pl, qq] (quadrants [ii, ij, ji, jj], entries k-major),
+    plus — in schur mode — the landmark-clique fill products appended
+    last (pl emits only its pose-diagonal ii quadrant there). Mirrors
+    assemble.system_values (the single-device oracle).
+
+    ``schur_pairs``: (pair_a, pair_b) observation-pair index lists
+    enabling per-device Schur elimination of the 2D landmark blocks;
+    ``lam`` enters the eliminated Hll (LM damping must be applied BEFORE
+    the complement). schur_state = (w_dense (E,3,2), hll_inv (NL,2,2),
+    gl (NL,2), off_i (E,), pl_lm (E,)) for back-substitution.
     """
     p2, l2, p3 = st
     (p2_dof, l2_dof, p3_dof,
      pp_from, pp_to, pp_z, pp_omega,
      pl_pose, pl_lm, pl_z, pl_omega,
      qq_from, qq_to, qq_z, qq_omega) = ed
+    schur = schur_pairs is not None
     bvec = jnp.zeros(ndof + 2 * h, dtype)
     vals = []
+    pair_vals = []
     chi2 = jnp.zeros((), dtype)
+    schur_state = None
 
     # SE2-SE2
     with jax.default_matmul_precision("highest"):
@@ -153,30 +180,60 @@ def _local_values(st, ed, ndof, h, dtype):
         _, hii, hij, hjj, b_i, b_j, c2 = linearize.edge_terms_pl_soa(
             p2, l2, pl_pose, pl_lm, pl_z, pl_omega
         )
-    vals += (_flat(hii) + _flat(hij) + _flat(_transpose_c(hij))
-             + _flat(hjj))
     off_i = p2_dof[pl_pose]
     off_j = l2_dof[pl_lm]
     for k in range(3):
         bvec = bvec.at[off_i + k].add(b_i[k])
-    for k in range(2):
-        bvec = bvec.at[off_j + k].add(b_j[k])
     chi2 = chi2 + jnp.sum(c2)
+    if not schur:
+        vals += (_flat(hii) + _flat(hij) + _flat(_transpose_c(hij))
+                 + _flat(hjj))
+        for k in range(2):
+            bvec = bvec.at[off_j + k].add(b_j[k])
+    else:
+        # per-device Schur elimination of the 2D landmark blocks: only
+        # the pose-diagonal ii quadrant enters H directly; the landmark
+        # coupling returns as clique-fill products below
+        vals += _flat(hii)
+        nl = l2.shape[0]
+        with jax.default_matmul_precision("highest"):
+            w_dense = jnp.stack(
+                [jnp.stack([hij[k][l] for l in range(2)], -1)
+                 for k in range(3)], -2)                       # (E, 3, 2)
+            hjj_dense = jnp.stack(
+                [jnp.stack([hjj[k][l] for l in range(2)], -1)
+                 for k in range(2)], -2)                       # (E, 2, 2)
+            bj_dense = jnp.stack([b_j[0], b_j[1]], -1)         # (E, 2)
+            hll = jnp.zeros((nl, 2, 2), dtype).at[pl_lm].add(hjj_dense)
+            hll = hll + jnp.eye(2, dtype=dtype) * (lam + 1e-10)
+            gl = jnp.zeros((nl, 2), dtype).at[pl_lm].add(bj_dense)
+            hll_inv = jnp.linalg.inv(hll)
+            a_e = jnp.einsum("eik,ekl->eil", w_dense, hll_inv[pl_lm])
+            # reduced gradient: gp' = gp - sum_o A_o gl_l(o)
+            corr = jnp.einsum("eik,ek->ei", a_e, gl[pl_lm])
+            for k in range(3):
+                bvec = bvec.at[off_i + k].add(-corr[:, k])
+            pair_a, pair_b = schur_pairs
+            prod = -jnp.einsum("qik,qjk->qij", a_e[pair_a],
+                               w_dense[pair_b])                # (Q, 3, 3)
+        pair_vals = [_em(prod)]
+        schur_state = (w_dense, hll_inv, gl, off_i, pl_lm)
 
     # SE3-SE3
     e, a, b, c2 = linearize.edge_terms_qq(p3, qq_from, qq_to, qq_z, qq_omega)
     h_ii, h_ij, h_ji, h_jj, b_i, b_j = _quad_blocks(e, a, b, qq_omega)
     vals += [_em(h_ii), _em(h_ij), _em(h_ji), _em(h_jj)]
-    off_i = p3_dof[qq_from]
-    off_j = p3_dof[qq_to]
-    idx_i = (off_i[:, None] + jnp.arange(6)[None, :]).ravel()
-    idx_j = (off_j[:, None] + jnp.arange(6)[None, :]).ravel()
+    off_i3 = p3_dof[qq_from]
+    off_j3 = p3_dof[qq_to]
+    idx_i = (off_i3[:, None] + jnp.arange(6)[None, :]).ravel()
+    idx_j = (off_j3[:, None] + jnp.arange(6)[None, :]).ravel()
     bvec = bvec.at[idx_i].add(b_i.ravel()).at[idx_j].add(b_j.ravel())
     chi2 = chi2 + jnp.sum(c2)
 
+    vals += pair_vals  # schur fill LAST (matches block_layout order)
     flat_vals = [v.ravel() for v in vals]
     return jnp.concatenate(flat_vals) if flat_vals else jnp.zeros(0, dtype), \
-        bvec, chi2
+        bvec, chi2, schur_state
 
 
 def _local_chi2(st, ed, dtype):
@@ -225,6 +282,7 @@ _MAP_FIELDS = (
     "ell_order", "ell_seg", "ell_pos", "nbr", "diag_pos",
     "pad_diag", "prior_diag", "dof_block", "dof_pos",
     "blk_idx", "blk_mask", "pad_eye", "band_idx", "band_mask",
+    "pair_a", "pair_b", "lm_ind",
 )
 
 
@@ -246,6 +304,7 @@ class _Dims:
     maxiter: int
     dtype: object
     band_pad: object  # (nb_loc, kb_loc, 2kb_loc) np identity pad rows
+    schur: bool = False
 
 
 def _dims_from(layout, precond, prior_weight, cg_tol, cg_maxiter, dtype,
@@ -257,30 +316,38 @@ def _dims_from(layout, precond, prior_weight, cg_tol, cg_maxiter, dtype,
         precond=precond, prior_weight=prior_weight, cg_tol=cg_tol,
         maxiter=(cg_maxiter if cg_maxiter is not None
                  else 2 * layout.n_pad),
-        dtype=dtype, band_pad=layout.band_pad,
+        dtype=dtype, band_pad=layout.band_pad, schur=layout.schur,
     )
 
 
 def _assemble(dm: _Dims, maps, edges, st, lam):
     """Linearize + scatter + halo-reduce + diag adds + preconditioner.
 
-    Returns (tbl (ndof, W), b (ndof,), chi2_global, precond_state).
+    Returns (tbl (ndof, W), b (ndof,), chi2_global, precond_state,
+    schur_state).
     """
     (ell_order, ell_seg, ell_pos, nbr, diag_pos, pad_diag,
      prior_diag, dof_block, dof_pos, blk_idx, blk_mask,
-     pad_eye, band_idx, band_mask) = maps
+     pad_eye, band_idx, band_mask, pair_a, pair_b, lm_ind) = maps
     ndof, h, W, dtype = dm.ndof, dm.h, dm.W, dm.dtype
 
-    vals, b_ext, chi2_loc = _local_values(st, edges, ndof, h, dtype)
+    vals, b_ext, chi2_loc, schur_state = _local_values(
+        st, edges, ndof, h, dtype, lam=lam,
+        schur_pairs=(pair_a, pair_b) if dm.schur else None)
     seg_vals = jax.ops.segment_sum(
         vals[ell_order], ell_seg, num_segments=dm.nseg)
     flat = jnp.zeros((ndof + 2 * h) * W + 1, dtype)
     flat = flat.at[ell_pos].add(seg_vals)
     tbl_ext = flat[:-1].reshape(ndof + 2 * h, W)
-    tbl = _halo_reduce(tbl_ext, dm.axis, dm.D, ndof, h)
-    b = _halo_reduce(b_ext[:, None], dm.axis, dm.D, ndof, h)[:, 0]
-    # diagonal additions: LM damping + unit pad + gauge prior
-    extra = lam + pad_diag + dm.prior_weight * prior_diag
+    tbl = _halo_reduce(tbl_ext, dm.axis, dm.D, ndof, h,
+                       two_sided=dm.schur)
+    b = _halo_reduce(b_ext[:, None], dm.axis, dm.D, ndof, h,
+                     two_sided=dm.schur)[:, 0]
+    # diagonal additions: LM damping + unit pad + gauge prior; schur
+    # mode gives eliminated landmark rows an identity diagonal instead
+    # of damping (their dx comes from back-substitution, CG keeps 0)
+    extra = (lam * (1.0 - lm_ind) + lm_ind + pad_diag
+             + dm.prior_weight * prior_diag)
     tbl_flat = tbl.reshape(-1).at[diag_pos].add(extra)
     tbl = tbl_flat.reshape(ndof, W)
     chi2 = jax.lax.psum(chi2_loc, dm.axis)
@@ -308,11 +375,11 @@ def _assemble(dm: _Dims, maps, edges, st, lam):
         with jax.default_matmul_precision("highest"):
             lds, lps = _factorize(r_blocks)
         pstate = (lds, lps, dinv)
-    return tbl, b, chi2, pstate
+    return tbl, b, chi2, pstate, schur_state
 
 
 def _make_precond(dm: _Dims, maps, pstate):
-    (_, _, _, _, _, _, _, dof_block, dof_pos, *_rest) = maps
+    dof_block, dof_pos = maps[7], maps[8]
     if dm.precond == "jacobi":
         (binv,) = pstate
 
@@ -336,6 +403,29 @@ def _make_precond(dm: _Dims, maps, pstate):
                 xs = band_substitute(lds, lps, rp)
             return xs.reshape(-1)[:dm.ndof] * dinv
     return precond
+
+
+def _schur_backsub(dm: _Dims, sstate, l2_dof, dx, dx_ext):
+    """Local landmark back-substitution: dx_l = -Hll^-1 (gl + W^T dx_p).
+
+    Landmark dofs are device-owned, so the recovered dx_l is ADDED into
+    the owned dx (CG left those slots at 0) and into this device's ext
+    view; no second halo exchange is needed (no other device reads a
+    foreign landmark's dx). Halo/pad landmark rows have gl = 0 and no
+    edges, hence dx_l = 0 — scatter-add keeps them harmless."""
+    w_dense, hll_inv, gl, off_i, pl_lm = sstate
+    dtype = dx.dtype
+    dxp_e = dx_ext[off_i[:, None] + jnp.arange(3)[None, :]]  # (E, 3)
+    with jax.default_matmul_precision("highest"):
+        wt_dx = jnp.zeros_like(gl).at[pl_lm].add(
+            jnp.einsum("eik,ei->ek", w_dense, dxp_e))
+        dx_l = -jnp.einsum("lij,lj->li", hll_inv, gl + wt_dx)  # (NL, 2)
+    own_pos = jnp.clip(l2_dof - dm.h, 0, dm.ndof - 2)
+    # halo lm rows resolve to clipped positions with dx_l = 0: no-ops
+    for k in range(2):
+        dx = dx.at[own_pos + k].add(dx_l[:, k])
+        dx_ext = dx_ext.at[l2_dof + k].add(dx_l[:, k])
+    return dx, dx_ext
 
 
 def _pcg(dm: _Dims, tbl, nbr, precond, b):
@@ -423,10 +513,14 @@ def make_block_optimize(
         p2_dof, l2_dof, p3_dof = edges_l[0], edges_l[1], edges_l[2]
 
         def do_step(st, lam):
-            tbl, b, chi2, pstate = _assemble(dm, maps_l, edges_l, st, lam)
+            tbl, b, chi2, pstate, sstate = _assemble(
+                dm, maps_l, edges_l, st, lam)
             precond_fn = _make_precond(dm, maps_l, pstate)
             dx, _ = _pcg(dm, tbl, nbr, precond_fn, -b)  # rhs neg (rs:361)
             dx_ext = _halo_exchange(dx, dm.axis, dm.D, dm.ndof, dm.h)
+            if dm.schur:
+                dx, dx_ext = _schur_backsub(dm, sstate, l2_dof, dx,
+                                            dx_ext)
             new_st = _retract(st, dx_ext, p2_dof, l2_dof, p3_dof)
             norm2 = jax.lax.psum(jnp.vdot(dx, dx), dm.axis)
             return new_st, norm2, chi2
@@ -513,9 +607,13 @@ def make_block_step(
         edges_l = unstack(edges)
         maps_l = unstack(maps)
         nbr = maps_l[3]
-        tbl, b, chi2, pstate = _assemble(dm, maps_l, edges_l, st, lam)
+        tbl, b, chi2, pstate, sstate = _assemble(
+            dm, maps_l, edges_l, st, lam)
         precond_fn = _make_precond(dm, maps_l, pstate)
         dx, _ = _pcg(dm, tbl, nbr, precond_fn, -b)
+        if dm.schur:
+            dx_ext = _halo_exchange(dx, dm.axis, dm.D, dm.ndof, dm.h)
+            dx, _ = _schur_backsub(dm, sstate, edges_l[1], dx, dx_ext)
         return dx[None], chi2
 
     axis = dm.axis
@@ -573,11 +671,14 @@ def block_optimize(
     cg_tol: float = 1e-10,
     cg_maxiter: int | None = None,
     precond: str = "jacobi",
+    schur: bool = False,
 ):
     """End-to-end convenience: build layout, run the one-program
-    distributed optimization, return (graph', errors list, iterations)."""
+    distributed optimization, return (graph', errors list, iterations).
+    ``schur=True`` eliminates 2D landmark blocks per-device before the
+    distributed CG (see build_block_layout)."""
     dtype = (graph.poses2.dtype if graph.poses2.size else graph.poses3.dtype)
-    layout = build_block_layout(graph, mesh.devices.size)
+    layout = build_block_layout(graph, mesh.devices.size, schur=schur)
     state, edges, maps = layout_device_arrays(layout, dtype)
     run = make_block_optimize(
         mesh, layout, num_iterations=num_iterations, solver=solver,

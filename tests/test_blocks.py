@@ -109,6 +109,40 @@ def test_block_lm_converges(mesh8):
     np.testing.assert_allclose(errs[:6], res.errors[:6], rtol=1e-5)
 
 
+def test_block_schur_step_matches_host(mesh8):
+    """Distributed Schur elimination (landmark blocks eliminated
+    per-device, clique fill over observation pairs, two-sided halo
+    reduce, local back-substitution) reproduces the host direct dx."""
+    g = synthetic_pose_graph_2d(num_poses=60, num_landmarks=8,
+                                dtype=jnp.float64)
+    dx_host = np.asarray(linearize_and_solve(g, backend="host"))
+    for d in (1, 8):
+        if len(jax.devices()) < d:
+            continue
+        mesh = make_mesh(d, axis="blocks")
+        layout = build_block_layout(g, d, schur=True)
+        state, edges, maps = layout_device_arrays(layout, jnp.float64)
+        solve = make_block_step(mesh, layout, cg_tol=1e-13)
+        dx, chi2 = solve(state, edges, maps, jnp.asarray(0.0))
+        np.testing.assert_allclose(float(chi2), float(global_error(g)),
+                                   rtol=1e-10)
+        np.testing.assert_allclose(dx_to_reference(layout, dx), dx_host,
+                                   atol=1e-7, err_msg=f"D={d}")
+
+
+@pytest.mark.slow
+def test_block_schur_landmark_golden(dataset_dir, mesh8):
+    """simulation-pose-landmark via distributed Schur (GN + LM — the
+    damping must enter the eliminated Hll) reaches χ² = 474 ± 1."""
+    g = load_g2o(dataset_dir / "g2o" / "simulation-pose-landmark.g2o")
+    _, errs, _ = block_optimize(mesh8, g, num_iterations=60,
+                                cg_tol=1e-12, schur=True)
+    assert abs(errs[-1] - 474.0) <= 1.0, errs[-1]
+    _, errs_lm, _ = block_optimize(mesh8, g, num_iterations=60,
+                                   solver="lm", cg_tol=1e-12, schur=True)
+    assert errs_lm[-1] <= 475.0, errs_lm[-1]
+
+
 def test_block_elastic_resume_after_fault(mesh8, tmp_path):
     """Fault injection for the distributed path: run one checkpointed
     segment, 'crash', resume from the snapshot — the stitched trajectory
