@@ -265,3 +265,74 @@ class EkfSlamKnownCorrespondences:
 
         state, _ = jax.lax.scan(body, state, (z, mask))
         return state
+
+
+# ----------------------------------------------------- Schmidt-EKF SLAM
+
+def schmidt_update_one(slam: EkfSlamKnownCorrespondences,
+                       state: EkfSlamState, k, z, valid, consider_lm):
+    """Consider-state (Schmidt-EKF) measurement update.
+
+    Landmarks flagged in ``consider_lm`` (L,) get ZERO Kalman gain: their
+    estimates are frozen, but their cross-covariances with the active
+    block keep being tracked, so the filter stays CONSISTENT (unlike
+    simply deleting stale landmarks, which discards correlation and
+    makes the filter overconfident). The covariance uses the
+    general-gain (any-K-valid) form
+
+        P <- P - K (H P) - (H P)^T K^T + K S K^T,
+
+    which for a masked K is exactly Schmidt's update. The visual-inertial
+    SLAM literature uses this to bound update cost while keeping old
+    map points as consider states (e.g. Schmidt-EKF VI-SLAM,
+    arxiv 1903.08636 — pattern reference).
+    """
+    fresh = jnp.logical_and(valid, jnp.logical_not(state.seen[k]))
+    init = slam._initialize_landmark(state, k, z)
+    state = jax.tree.map(lambda a, b: jnp.where(fresh, a, b), init, state)
+    h = slam._measurement_jacobian(state, k)
+    z_pred = slam._z_pred(state, k)
+    innov = jnp.stack([z[0] - z_pred[0], wrap_angle(z[1] - z_pred[1])])
+
+    n = state.x.shape[0]
+    dtype = state.x.dtype
+    # per-dim active mask: robot always active; a CONSIDER landmark
+    # stays frozen even when observed — that is the point: its sighting
+    # updates the robot through the cross-covariance without touching
+    # the landmark. Only a fresh initialization overrides the freeze.
+    lm_consider = jnp.asarray(consider_lm)
+    lm_consider = lm_consider.at[k].set(
+        jnp.logical_and(lm_consider[k], jnp.logical_not(fresh)))
+    active = jnp.concatenate(
+        [jnp.ones(3, bool),
+         jnp.logical_not(jnp.repeat(lm_consider, 2))])
+
+    with jax.default_matmul_precision("highest"):
+        hp = h @ state.cov                      # (2, n)
+        s = hp @ h.T + slam.q
+        gain = (state.cov @ h.T) @ jnp.linalg.inv(s)
+        gain = gain * active[:, None].astype(dtype)  # Schmidt: K_c = 0
+        x_new = state.x + gain @ innov
+        cov_new = (state.cov - gain @ hp - hp.T @ gain.T
+                   + gain @ s @ gain.T)
+        cov_new = 0.5 * (cov_new + cov_new.T)
+    x = jnp.where(valid, x_new, state.x)
+    cov = jnp.where(valid, cov_new, state.cov)
+    return EkfSlamState(x=x, cov=cov, seen=state.seen)
+
+
+def schmidt_step(slam: EkfSlamKnownCorrespondences, state: EkfSlamState,
+                 u, has_control, lm_idx, z, mask, dt, consider_lm):
+    """One merged event with consider-state updates (see
+    schmidt_update_one). ``consider_lm`` (L,) bool selects the frozen
+    landmark set — a recency/distance policy chosen by the caller."""
+    pred = slam.predict(state, u, dt)
+    state = jax.tree.map(
+        lambda a, b: jnp.where(has_control, a, b), pred, state)
+
+    def body(st, inp):
+        k, zi, ok = inp
+        return schmidt_update_one(slam, st, k, zi, ok, consider_lm), None
+
+    state, _ = jax.lax.scan(body, state, (lm_idx, z, mask))
+    return state

@@ -10,6 +10,71 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+
+def test_schmidt_ekf_consider_states():
+    """Schmidt (consider-state) updates: frozen landmarks keep their
+    means, the filter stays consistent (conservative vs the full EKF),
+    and the active block still tracks."""
+    from rustrobotics_tpu.mapping.ekf_slam import (
+        EkfSlamKnownCorrespondences,
+        schmidt_step,
+    )
+    from rustrobotics_tpu.models import VelocityMotionModel
+
+    rng = np.random.default_rng(0)
+    lms = np.array([[4.0, 0.0], [0.0, 4.0], [-4.0, 0.0], [0.0, -4.0],
+                    [3.0, 3.0], [-3.0, 3.0]])
+    slam = EkfSlamKnownCorrespondences.create(
+        q=jnp.diag(jnp.asarray([0.1, 0.05])) ** 2,
+        motion_model=VelocityMotionModel.create(
+            jnp.asarray([0.02, 0.005, 0.01, 0.005])),
+        max_landmarks=len(lms),
+    )
+
+    step = jax.jit(lambda st, u_, ids, zs, m, cl: schmidt_step(
+        slam, st, u_, True, ids, zs, m, 0.1, cl))
+
+    def simulate(consider):
+        state = slam.init_state(jnp.zeros(3))
+        pose = np.zeros(3)
+        u, dt = jnp.asarray([0.8, 0.25]), 0.1
+        traj_err = []
+        for t in range(200):
+            th = pose[2]
+            pose = pose + np.array([0.8 * dt * np.cos(th),
+                                    0.8 * dt * np.sin(th), 0.25 * dt])
+            d = lms - pose[:2]
+            zs = np.stack([
+                np.linalg.norm(d, axis=1) + rng.normal(size=len(lms)) * 0.1,
+                np.arctan2(d[:, 1], d[:, 0]) - pose[2]
+                + rng.normal(size=len(lms)) * 0.05,
+            ], -1)
+            # after warmup, freeze landmarks 3-5 as consider states
+            cl = jnp.asarray(
+                [False, False, False, True, True, True]) if (
+                    consider and t >= 60) else jnp.zeros(len(lms), bool)
+            frozen_before = np.asarray(state.landmarks)[3:].copy()
+            state = step(
+                state, u, jnp.arange(len(lms), dtype=jnp.int32),
+                jnp.asarray(zs), jnp.ones(len(lms), bool), cl)
+            if consider and t >= 61:
+                np.testing.assert_allclose(
+                    np.asarray(state.landmarks)[3:], frozen_before,
+                    atol=1e-12)
+            traj_err.append(
+                np.linalg.norm(np.asarray(state.x[:2]) - pose[:2]))
+        return state, np.asarray(traj_err)
+
+    full_state, full_err = simulate(consider=False)
+    sch_state, sch_err = simulate(consider=True)
+    # active tracking survives freezing half the map
+    assert sch_err[-40:].mean() < 0.2, sch_err[-40:].mean()
+    # consistency: the Schmidt covariance is conservative (never smaller
+    # than the full-update filter's) and stays PSD
+    cov = np.asarray(sch_state.cov)
+    assert np.all(np.linalg.eigvalsh(cov) > -1e-10)
+    assert np.trace(cov) >= np.trace(np.asarray(full_state.cov)) - 1e-9
+
 from rustrobotics_tpu.mapping.ekf_slam import EkfSlamKnownCorrespondences
 from rustrobotics_tpu.models import VelocityMotionModel
 
