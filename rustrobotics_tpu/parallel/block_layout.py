@@ -315,7 +315,7 @@ def build_block_layout(graph, num_devices: int,
         zz = np.zeros((D, e_max) + z.shape[1:])
         oo = np.zeros((D, e_max) + om.shape[1:])
         real = np.zeros((D, e_max), bool)
-        ti, tj = fam_t
+        del fam_t  # endpoint types are implied by the LUT entries
         for d, ix in enumerate(idx_by_dev):
             lut = per_dev[d][1]
             for i, e in enumerate(ix):

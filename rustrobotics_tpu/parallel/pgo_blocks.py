@@ -414,7 +414,6 @@ def _schur_backsub(dm: _Dims, sstate, l2_dof, dx, dx_ext):
     foreign landmark's dx). Halo/pad landmark rows have gl = 0 and no
     edges, hence dx_l = 0 — scatter-add keeps them harmless."""
     w_dense, hll_inv, gl, off_i, pl_lm = sstate
-    dtype = dx.dtype
     dxp_e = dx_ext[off_i[:, None] + jnp.arange(3)[None, :]]  # (E, 3)
     with jax.default_matmul_precision("highest"):
         wt_dx = jnp.zeros_like(gl).at[pl_lm].add(
