@@ -174,6 +174,24 @@ def test_block_elastic_resume_after_fault(mesh8, tmp_path):
 
 
 @pytest.mark.slow
+def test_block_3d_step_matches_host(dataset_dir, mesh8):
+    """SE3 graphs ride the same block partition: one distributed GN step
+    on parking-garage (1661 SE3 poses, 9966 dof, band h=222) equals the
+    host sparse direct solve. The reference cannot run 3D at all
+    (pose_graph_optimization.rs:357 todo!())."""
+    g = load_g2o(dataset_dir / "g2o" / "parking-garage.g2o")
+    layout = build_block_layout(g, 8)
+    state, edges, maps = layout_device_arrays(layout, jnp.float64)
+    solve = make_block_step(mesh8, layout, cg_tol=1e-12)
+    dx, chi2 = solve(state, edges, maps, jnp.asarray(0.0))
+    np.testing.assert_allclose(float(chi2), float(global_error(g)),
+                               rtol=1e-10)
+    dx_host = np.asarray(linearize_and_solve(g, backend="host"))
+    err = np.abs(dx_to_reference(layout, dx) - dx_host).max()
+    assert err < 1e-5 * max(1.0, np.abs(dx_host).max()), err
+
+
+@pytest.mark.slow
 def test_block_optimize_intel_golden(dataset_dir, mesh8):
     """Full distributed GN on intel reaches χ² = 360 ± 1 (rs:616-621)."""
     g = load_g2o(dataset_dir / "g2o" / "intel.g2o")
