@@ -275,6 +275,53 @@ def test_occupancy_grid_maps_square_room():
     assert wall_band.max() > 0.9, wall_band.max()
 
 
+# --------------------------------------------------- scan-matching SLAM
+
+def test_scan_matching_pipeline():
+    """ICP odometry + occupancy fusion on a simulated square room:
+    recovered trajectory tracks ground truth and the fused map shows
+    free interior / occupied walls."""
+    from rustrobotics_tpu.mapping.scan_matching import scan_matching_slam
+
+    angles = jnp.linspace(-jnp.pi, jnp.pi, 240, endpoint=False)
+
+    def room_range(pose, ang):
+        th = pose[2] + ang
+        dx, dy = jnp.cos(th), jnp.sin(th)
+        tx = jnp.where(dx > 0, (6.0 - pose[0]) / dx,
+                       jnp.where(dx < 0, (-6.0 - pose[0]) / dx, jnp.inf))
+        ty = jnp.where(dy > 0, (6.0 - pose[1]) / dy,
+                       jnp.where(dy < 0, (-6.0 - pose[1]) / dy, jnp.inf))
+        return jnp.minimum(tx, ty)
+
+    # ground-truth arc inside the room
+    steps = 12
+    gt = []
+    p = np.zeros(3)
+    for t in range(steps):
+        gt.append(p.copy())
+        p = p + np.array([0.3 * np.cos(p[2]), 0.3 * np.sin(p[2]), 0.12])
+    gt = jnp.asarray(np.stack(gt))
+    scans = jax.vmap(
+        lambda po: jax.vmap(lambda a: room_range(po, a))(angles))(gt)
+
+    poses, grid = scan_matching_slam(scans, angles, max_range=20.0,
+                                     grid_size=120, resolution=0.2)
+    err = np.linalg.norm(np.asarray(poses[:, :2]) - np.asarray(gt[:, :2]),
+                         axis=1)
+    # point-to-point ICP on flat walls slides tangentially (~3 cm/step
+    # bias is inherent); the trajectory covers ~3.3 m, so sub-0.5 m drift
+    # still demonstrates real odometry (swap in the PGO backend to close
+    # the gap in a full system)
+    assert err.max() < 0.5, err.max()
+    assert err[1] < 0.1, err[1]  # single-step alignment is accurate
+    prob = np.asarray(grid.probability)
+    assert prob[55:65, 55:65].max() < 0.25       # interior free
+    # y = -6 wall sits at row (-6 - (-12)) / 0.2 = 30 (pose drift smears
+    # it across a couple of cells)
+    assert prob[27:34, 40:80].max() > 0.7
+
+
 # ------------------------------------------------------ histogram filter
 
 def test_histogram_filter_localizes_from_uniform():
