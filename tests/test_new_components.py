@@ -322,6 +322,82 @@ def test_scan_matching_pipeline():
     assert prob[27:34, 40:80].max() > 0.7
 
 
+def test_scan_matching_loop_closure_pgo():
+    """Closing the loop: on a trajectory that returns to its start, ICP
+    loop closures + pose-graph optimization cut the accumulated
+    odometry drift."""
+    from rustrobotics_tpu.mapping.scan_matching import (
+        icp_odometry,
+        scan_matching_slam_pgo,
+    )
+
+    angles = jnp.linspace(-jnp.pi, jnp.pi, 240, endpoint=False)
+
+    # square room + two pillars: a bare square has 4-fold rotational
+    # symmetry, so scan alignment admits perfect impostor matches at
+    # 90-degree offsets — the pillars break the symmetry (as real
+    # environments do)
+    pillars = jnp.asarray([[3.0, -2.0, 0.8], [-2.5, 3.5, 0.5]])
+
+    def room_range(pose, ang):
+        th = pose[2] + ang
+        dx, dy = jnp.cos(th), jnp.sin(th)
+        tx = jnp.where(dx > 0, (6.0 - pose[0]) / dx,
+                       jnp.where(dx < 0, (-6.0 - pose[0]) / dx, jnp.inf))
+        ty = jnp.where(dy > 0, (6.0 - pose[1]) / dy,
+                       jnp.where(dy < 0, (-6.0 - pose[1]) / dy, jnp.inf))
+        r_wall = jnp.minimum(tx, ty)
+
+        def pillar_hit(p):
+            cx, cy, rad = p[0], p[1], p[2]
+            ox, oy = pose[0] - cx, pose[1] - cy
+            b = ox * dx + oy * dy
+            disc = b * b - (ox * ox + oy * oy - rad * rad)
+            t_hit = -b - jnp.sqrt(jnp.clip(disc, 0.0, None))
+            ok = (disc > 0) & (t_hit > 0)
+            return jnp.where(ok, t_hit, jnp.inf)
+
+        return jnp.minimum(r_wall, jnp.min(jax.vmap(pillar_hit)(pillars)))
+
+    # full circle (returns to start): 36 steps around radius 2
+    steps = 36
+    ts = np.linspace(0, 2 * np.pi, steps, endpoint=False)
+    gt = np.stack([2.0 * np.cos(ts), 2.0 * np.sin(ts),
+                   (ts + np.pi / 2 + np.pi) % (2 * np.pi) - np.pi], -1)
+    gt = jnp.asarray(gt)
+    scans = jax.vmap(
+        lambda po: jax.vmap(lambda a: room_range(po, a))(angles))(gt)
+
+    from rustrobotics_tpu.geometry import se2
+
+    poses_odo, _, _ = icp_odometry(scans, angles, max_range=20.0)
+    true_rel = np.asarray(se2.relative(gt[0], gt[-1]))
+    odo_rel = np.asarray(se2.relative(poses_odo[0], poses_odo[-1]))
+    gap_odo = np.linalg.norm(odo_rel[:2] - true_rel[:2])
+    assert gap_odo > 1.0, gap_odo  # odometry alone leaves the loop open
+
+    # the candidate radius must exceed the accumulated odometry drift
+    # at revisit time (~1 m here); the ICP-rmse gate rejects impostors
+    poses, grid, graph = scan_matching_slam_pgo(
+        scans, angles, max_range=20.0, closure_gap=8,
+        closure_radius=2.0, grid_size=120, resolution=0.2)
+    assert graph.pp_from.shape[0] > steps - 1  # closures were added
+
+    # What loop closure CAN fix is internal consistency: the start->end
+    # relative pose (3.9 m open with raw odometry) closes to centimeters.
+    # Absolute drift vs ground truth is unobservable beyond the pose-0
+    # gauge — the self-consistent map stays slightly warped by the
+    # odometry's systematic bias, so we only require it not to worsen.
+    est_rel = np.asarray(se2.relative(poses[0], poses[-1]))
+    gap = np.linalg.norm(est_rel[:2] - true_rel[:2])
+    assert gap < 0.1, gap
+    drift_odo = np.linalg.norm(
+        np.asarray(poses_odo[:, :2]) - np.asarray(gt[:, :2]), axis=1)
+    drift = np.linalg.norm(
+        np.asarray(poses[:, :2]) - np.asarray(gt[:, :2]), axis=1)
+    assert drift.mean() <= drift_odo.mean() * 1.05
+
+
 # ------------------------------------------------------ histogram filter
 
 def test_histogram_filter_localizes_from_uniform():
