@@ -17,7 +17,32 @@ import os
 import sys
 import time
 
+def _tpu_alive(timeout_s=150):
+    """Probe TPU/backend health in a SUBPROCESS: a dead axon tunnel makes
+    jax.devices() hang forever in-process, which would hang the whole
+    bench. The probe times out instead."""
+    import subprocess
+    import sys as _sys
+
+    try:
+        r = subprocess.run(
+            [_sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            capture_output=True, timeout=timeout_s, text=True,
+        )
+        return r.returncode == 0 and "cpu" not in r.stdout
+    except Exception:
+        return False
+
+
+_TPU_OK = _tpu_alive()
+
 import jax
+
+if not _TPU_OK:
+    # degrade to CPU rather than hanging the driver: the JSON line still
+    # lands, marked with the fallback platform
+    jax.config.update("jax_platforms", "cpu")
 
 try:
     # must happen before the CPU backend initializes: gives the scaling
@@ -122,6 +147,9 @@ def main():
         f"chi2 trace head {errors[:4].tolist()}; extra {extra}",
         file=sys.stderr,
     )
+    if not _TPU_OK:
+        extra["platform_fallback"] = (
+            "tpu tunnel unreachable at bench time; CPU numbers")
     print(
         json.dumps(
             {
