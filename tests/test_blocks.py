@@ -52,11 +52,12 @@ def test_block_gn_step_matches_host_direct(dataset_dir, mesh8):
 
 
 def test_block_gn_step_synthetic_all_device_counts():
-    """D in {1, 2, 8} all reproduce the host dx (halo hops exercised)."""
+    """D in {1, 2, 3, 5, 8} all reproduce the host dx — including odd
+    counts with uneven chunk padding (halo hop arithmetic exercised)."""
     g = synthetic_pose_graph_2d(num_poses=60, num_landmarks=8,
                                 dtype=jnp.float64)
     dx_host = np.asarray(linearize_and_solve(g, backend="host"))
-    for d in (1, 2, 8):
+    for d in (1, 2, 3, 5, 8):
         if len(jax.devices()) < d:
             continue
         mesh = make_mesh(d, axis="blocks")
