@@ -38,18 +38,23 @@ class LQGController:
     def control(self, x_hat):
         return -self.k @ x_hat
 
-    def estimate_step(self, x_hat, u, z):
-        """Predict-correct with the stationary gain:
-        x_hat' = A x_hat + B u + L (z - C (A x_hat + B u))."""
-        pred = self.a @ x_hat + self.b @ u
-        return pred + self.l @ (z - self.c @ pred)
-
     def step(self, x_hat, z):
-        """One closed-loop controller step given the latest measurement:
-        returns (u, new x_hat). The measurement corrects the PREVIOUS
-        prediction; the control uses the corrected estimate."""
-        u = self.control(x_hat)
-        return u, self.estimate_step(x_hat, u, z)
+        """One closed-loop step: ``x_hat`` is the PREDICTED estimate
+        x̂_{t|t-1}; the current measurement z_t corrects it, the control
+        acts on the corrected (filtered) estimate, and the next
+        prediction propagates through the model:
+
+            x̂_{t|t}   = x̂_{t|t-1} + L (z_t - C x̂_{t|t-1})
+            u_t        = -K x̂_{t|t}
+            x̂_{t+1|t} = A x̂_{t|t} + B u_t
+
+        Returns (u_t, x̂_{t+1|t}). Correcting with the CURRENT
+        measurement before acting is the standard LQG timing — applying
+        z_t to the t+1 prediction instead lags the filter one step.
+        """
+        corr = x_hat + self.l @ (z - self.c @ x_hat)
+        u = -self.k @ corr
+        return u, self.a @ corr + self.b @ u
 
 
 def kalman_gain(a, c, w, v, max_iter: int = 500,

@@ -15,8 +15,11 @@ way, but TPU-first:
   10-10^3, so the MXU eats it;
 - Levenberg-Marquardt accept/reject mirrors mapping.pgo.
 
-Gauge freedom is fixed with a prior on the first camera (the
-pose-graph's +1e7 trick) plus a scale anchor on the first point's range.
+Gauge freedom: the first camera carries a +1e7 prior (the pose-graph's
+gauge trick), which pins 6 of the 7 similarity dofs; the remaining
+global-scale direction is left soft — LM damping keeps the solution at
+the initialization's scale (pin a point range explicitly if a metric
+scale is required).
 """
 
 from __future__ import annotations
