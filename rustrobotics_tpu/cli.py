@@ -133,7 +133,7 @@ def cmd_pgo(args):
         _, errors, it = block_optimize(
             mesh, graph.data, num_iterations=args.iterations,
             solver=solver, cg_tol=1e-10 if f64 else 1e-6,
-            cg_maxiter=4000,
+            cg_maxiter=4000, schur=args.schur,
         )
         print(f"converged in {it} iterations; "
               f"chi2 {errors[0]:.1f} -> {errors[-1]:.5f}")
@@ -318,6 +318,9 @@ def main(argv=None):
     sp.add_argument("--distributed", type=int, default=0, metavar="N",
                     help="map-block distributed optimize over N devices "
                          "(parallel.block_optimize)")
+    sp.add_argument("--schur", action="store_true",
+                    help="with --distributed: eliminate 2D landmark "
+                         "blocks per-device before the halo-CG")
     sp.set_defaults(fn=cmd_pgo)
 
     sp = sub.add_parser("pendulum", help="LQR inverted pendulum")
