@@ -144,6 +144,7 @@ def cmd_pgo(args):
         num_iterations=args.iterations, log=True, backend=args.backend,
         plot=bool(args.plot), out_dir=args.plot or "img",
         robust=args.robust, robust_delta=args.robust_delta,
+        robust_alpha=args.robust_alpha,
     )
     print(f"final error: {errors[-1]:.5f}")
 
@@ -306,14 +307,21 @@ def main(argv=None):
     sp.add_argument(
         "--backend", default="host",
         choices=["auto", "host", "native", "dense", "schur", "cg",
-                 "banded-direct"],
+                 "banded-direct", "banded-cr"],
     )
     sp.add_argument("--iterations", type=int, default=50)
     sp.add_argument("--init", choices=["none", "chordal"], default="none",
                     help="bootstrap initialization before optimizing")
-    sp.add_argument("--robust", choices=["huber", "cauchy"], default=None,
-                    help="M-estimator reweighting of outlier edges")
+    sp.add_argument("--robust",
+                    choices=["huber", "cauchy", "barron", "gnc-gm"],
+                    default=None,
+                    help="M-estimator reweighting of outlier edges; "
+                         "barron = Barron general loss (--robust-alpha), "
+                         "gnc-gm = graduated non-convexity over "
+                         "Geman-McClure (adaptive)")
     sp.add_argument("--robust-delta", type=float, default=1.0)
+    sp.add_argument("--robust-alpha", type=float, default=-2.0,
+                    help="Barron loss shape (2=L2, 0=Cauchy, -2=GM)")
     sp.add_argument("--plot", default=None, help="output directory for PNGs")
     sp.add_argument("--distributed", type=int, default=0, metavar="N",
                     help="map-block distributed optimize over N devices "

@@ -238,25 +238,119 @@ ROBUST_KERNELS = {
     "cauchy": lambda c2, d: 1.0 / (1.0 + c2 / (d * d)),
 }
 
+# Adaptive kernels (reference README.md:50-51 Todo "Robust Kernels /
+# Adaptive Kernels" — unimplemented there). Two families:
+#
+# - "barron": Barron's general robust loss rho(r; alpha, c) (CVPR'19):
+#   one alpha parameter sweeps L2 (alpha=2) -> Charbonnier (1) ->
+#   Cauchy (0) -> Geman-McClure (-2) -> Welsch (-inf). IRLS weight
+#   w = rho'(r)/r normalized to w(0)=1:
+#       w = ( (r/c)^2 / |alpha-2| + 1 ) ^ (alpha/2 - 1)
+# - "gnc-gm": graduated non-convexity over Geman-McClure (Yang et al.,
+#   RA-L'20): weight w = ( mu c^2 / (r^2 + mu c^2) )^2 with a
+#   continuation parameter mu annealed mu0 -> 1 by the OPTIMIZER loop
+#   (mu0 from the worst initial residual makes the first surrogate
+#   convex; mu=1 recovers plain Geman-McClure). The schedule lives in
+#   mapping.pgo; assembly only evaluates the weight at the given mu.
+ADAPTIVE_KERNELS = ("barron", "gnc-gm")
+# mu0 ceiling for the GNC continuation: the textbook mu0 = 2 r_max^2/c^2
+# can reach 1e6+ under gross outliers, wasting the whole annealing budget
+# fighting a hopeless near-L2 phase (and cutting true closures on the way
+# down). Capping keeps the first surrogate smooth-but-informative; swept
+# empirically (tests/test_robust_adaptive.py ramp): the cap is what takes
+# GNC from erratic to exact on 16-128 injected outliers.
+GNC_MU0_CAP = 1e3
+
+
+def robust_weight(robust, c2, delta, alpha=-2.0, mu=None):
+    """Per-edge IRLS weight for the given kernel at squared error c2.
+
+    ``robust`` in {None, "huber", "cauchy", "barron", "gnc-gm"};
+    ``delta`` is the kernel scale c, ``alpha`` the Barron shape (static),
+    ``mu`` the GNC continuation parameter (traced scalar; None -> 1).
+    """
+    if robust is None:
+        return jnp.ones_like(c2)
+    if robust in ROBUST_KERNELS:
+        return ROBUST_KERNELS[robust](c2, delta)
+    if robust == "barron":
+        alpha = float(alpha)
+        if alpha >= 2.0:
+            return jnp.ones_like(c2)
+        base = c2 / (delta * delta) / (2.0 - alpha) + 1.0
+        return base ** (alpha / 2.0 - 1.0)
+    if robust == "gnc-gm":
+        m = jnp.asarray(1.0 if mu is None else mu, c2.dtype)
+        s = m * delta * delta
+        return (s / (c2 + s)) ** 2
+    raise ValueError(f"unknown robust kernel {robust!r}")
+
+
+def robust_rho(robust, c2, delta, alpha=-2.0, mu=None):
+    """Per-edge robust LOSS rho(c2) matching ``robust_weight`` (the IRLS
+    weights are 2*d rho/d c2 normalized to 1 at 0). Used as the LM
+    accept/reject objective for robust runs: comparing RAW chi2 would
+    reject every step that sacrifices outlier fit."""
+    if robust is None:
+        return c2
+    d2 = delta * delta
+    if robust == "huber":
+        r = jnp.sqrt(jnp.clip(c2, 1e-20, None))
+        return jnp.where(c2 <= d2, c2, 2.0 * delta * r - d2)
+    if robust == "cauchy":
+        return d2 * jnp.log1p(c2 / d2)
+    if robust == "barron":
+        alpha = float(alpha)
+        if alpha >= 2.0:
+            return c2
+        if alpha == 0.0:
+            return 2.0 * d2 * jnp.log1p(c2 / (2.0 * d2))
+        b = 2.0 - alpha
+        return (2.0 * d2 * b / alpha) * (
+            (c2 / (d2 * b) + 1.0) ** (alpha / 2.0) - 1.0)
+    if robust == "gnc-gm":
+        m = jnp.asarray(1.0 if mu is None else mu, c2.dtype)
+        s = m * d2
+        return s * c2 / (s + c2)
+    raise ValueError(f"unknown robust kernel {robust!r}")
+
 
 def system_values(graph: PoseGraphData, lam, prior_weight=PRIOR_WEIGHT,
-                  robust=None, robust_delta=1.0):
+                  robust=None, robust_delta=1.0, robust_alpha=-2.0,
+                  mu=None, robust_edges="closures"):
     """Jittable: flat triplet values (aligned with build_layout) + RHS b
     (already negated, rs:361) + total chi2 error.
 
-    ``robust``: optional M-estimator ("huber"/"cauchy") — every edge's
-    normal-equation contribution is scaled by the IRLS weight of its
-    current squared error, so gross outlier constraints (wrong loop
-    closures) stop dominating the solve. The returned chi2 stays the RAW
-    quadratic error for trace comparability. No reference counterpart.
+    ``robust``: optional M-estimator ("huber"/"cauchy"/"barron"/
+    "gnc-gm") — every edge's normal-equation contribution is scaled by
+    the IRLS weight of its current squared error, so gross outlier
+    constraints (wrong loop closures) stop dominating the solve.
+    ``robust_alpha`` is the Barron shape, ``mu`` the (traced) GNC
+    continuation parameter. ``robust_edges="closures"`` (default) keeps
+    ODOMETRY pose-pose edges (to == from + 1) at L2: rejecting a
+    sequential edge fragments the graph into mutually-drifting pieces
+    that no later iteration can pull back (the IRLS gradient of a cut
+    edge is ~0) — robustify only what can actually be an outlier.
+    "all" robustifies every edge. The returned chi2 stays the RAW
+    quadratic error for trace comparability. No reference counterpart
+    (its Todo, README.md:50-51).
     """
     dtype = graph.poses2.dtype if graph.poses2.size else graph.poses3.dtype
     n = graph.total_dof
     bvec = jnp.zeros(n, dtype=dtype)
     vals = []
     chi2 = jnp.zeros((), dtype=dtype)
-    rw = (lambda c2: ROBUST_KERNELS[robust](c2, robust_delta)) if robust \
+    rw = (lambda c2: robust_weight(robust, c2, robust_delta,
+                                   alpha=robust_alpha, mu=mu)) if robust \
         else (lambda c2: jnp.ones_like(c2))
+
+    def rw_pose(c2, fr, to):
+        # pose-pose families: sequential (odometry) edges stay L2 under
+        # the default robust_edges="closures"
+        w = rw(c2)
+        if robust and robust_edges == "closures":
+            w = jnp.where(to == fr + 1, jnp.ones_like(w), w)
+        return w
 
     def flat(hxx):
         # entry-major flatten of a component matrix (matches _block_indices)
@@ -271,7 +365,7 @@ def system_values(graph: PoseGraphData, lam, prior_weight=PRIOR_WEIGHT,
             graph.poses2, graph.pp_from, graph.pp_to, graph.pp_z,
             graph.pp_omega,
         )
-    w = rw(c2)
+    w = rw_pose(c2, graph.pp_from, graph.pp_to)
     hii, hij, hjj = _scale_c(hii, w), _scale_c(hij, w), _scale_c(hjj, w)
     b_i = [bi * w for bi in b_i]
     b_j = [bj * w for bj in b_j]
@@ -305,7 +399,7 @@ def system_values(graph: PoseGraphData, lam, prior_weight=PRIOR_WEIGHT,
         graph.poses3, graph.qq_from, graph.qq_to, graph.qq_z, graph.qq_omega
     )
     h_ii, h_ij, h_ji, h_jj, b_i, b_j = _quad_blocks(e, a, b, graph.qq_omega)
-    w = rw(c2)[:, None, None]
+    w = rw_pose(c2, graph.qq_from, graph.qq_to)[:, None, None]
     h_ii, h_ij, h_ji, h_jj = (h_ii * w, h_ij * w, h_ji * w, h_jj * w)
     b_i = b_i * w[:, :, 0]
     b_j = b_j * w[:, :, 0]
@@ -333,7 +427,9 @@ def system_values(graph: PoseGraphData, lam, prior_weight=PRIOR_WEIGHT,
 
 
 system_values_jit = jax.jit(
-    system_values, static_argnames=("prior_weight", "robust", "robust_delta")
+    system_values,
+    static_argnames=("prior_weight", "robust", "robust_delta",
+                     "robust_alpha", "robust_edges"),
 )
 
 

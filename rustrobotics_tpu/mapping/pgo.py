@@ -27,6 +27,7 @@ import numpy as np
 
 from rustrobotics_tpu.mapping import solvers
 from rustrobotics_tpu.mapping.assemble import (
+    GNC_MU0_CAP,
     PRIOR_WEIGHT,
     apply_update_jit,
     build_layout,
@@ -56,6 +57,62 @@ def global_error(graph: PoseGraphData):
     return jnp.sum(c_pp) + jnp.sum(c_pl) + jnp.sum(c_qq)
 
 
+@jax.jit
+def max_edge_chi2(graph: PoseGraphData):
+    """Largest per-edge squared Mahalanobis error — seeds the GNC
+    continuation parameter mu0 = max(1, 2 r_max^2 / c^2) so the first
+    surrogate loss is convex (Yang et al., RA-L'20)."""
+    *_, c_pp = edge_terms_pp(
+        graph.poses2, graph.pp_from, graph.pp_to, graph.pp_z, graph.pp_omega
+    )
+    *_, c_pl = edge_terms_pl(
+        graph.poses2, graph.landmarks2,
+        graph.pl_pose, graph.pl_lm, graph.pl_z, graph.pl_omega,
+    )
+    *_, c_qq = edge_terms_qq(
+        graph.poses3, graph.qq_from, graph.qq_to, graph.qq_z, graph.qq_omega
+    )
+    dtype = c_pp.dtype
+    zero = jnp.zeros((), dtype)
+    mx = zero
+    for c in (c_pp, c_pl, c_qq):
+        if c.size:
+            mx = jnp.maximum(mx, jnp.max(c))
+    return mx
+
+
+def robust_global_cost(graph: PoseGraphData, robust, delta, alpha=-2.0,
+                       mu=None, robust_edges="closures"):
+    """Sum of per-edge robust losses rho(e^T Omega e) — the objective a
+    robust run actually minimizes (assemble.robust_rho; sequential
+    pose-pose edges stay quadratic under robust_edges="closures",
+    mirroring system_values). robust=None degenerates to the raw chi2 of
+    ``global_error``."""
+    from rustrobotics_tpu.mapping.assemble import robust_rho
+
+    *_, c_pp = edge_terms_pp(
+        graph.poses2, graph.pp_from, graph.pp_to, graph.pp_z, graph.pp_omega
+    )
+    *_, c_pl = edge_terms_pl(
+        graph.poses2, graph.landmarks2,
+        graph.pl_pose, graph.pl_lm, graph.pl_z, graph.pl_omega,
+    )
+    *_, c_qq = edge_terms_qq(
+        graph.poses3, graph.qq_from, graph.qq_to, graph.qq_z, graph.qq_omega
+    )
+    total = jnp.zeros((), c_pp.dtype)
+    for c, fr, to in ((c_pp, graph.pp_from, graph.pp_to),
+                      (c_pl, None, None),
+                      (c_qq, graph.qq_from, graph.qq_to)):
+        if not c.size:
+            continue
+        rho = robust_rho(robust, c, delta, alpha=alpha, mu=mu)
+        if robust and robust_edges == "closures" and fr is not None:
+            rho = jnp.where(to == fr + 1, c, rho)
+        total = total + jnp.sum(rho)
+    return total
+
+
 @dataclasses.dataclass
 class OptimizeResult:
     graph: PoseGraphData
@@ -80,20 +137,37 @@ def optimize(
     prior_weight: float = PRIOR_WEIGHT,
     robust: str | None = None,
     robust_delta: float = 1.0,
+    robust_alpha: float = -2.0,
     log: bool = False,
     callback=None,
 ) -> OptimizeResult:
     """Host-driven optimization loop (reference semantics, rs:247-303).
-    ``robust``/``robust_delta``: optional Huber/Cauchy IRLS reweighting of
-    outlier edges (see assemble.system_values)."""
+    ``robust``/``robust_delta``: optional IRLS reweighting of outlier
+    edges — fixed Huber/Cauchy/Barron(alpha) kernels, or "gnc-gm"
+    graduated non-convexity with mu annealed mu0 -> 1 across iterations
+    (see assemble.robust_weight)."""
     layout = build_layout(graph)
     dtype = graph.poses2.dtype if graph.poses2.size else graph.poses3.dtype
     values_fn = jax.jit(partial(system_values, prior_weight=prior_weight,
-                                robust=robust, robust_delta=robust_delta))
+                                robust=robust, robust_delta=robust_delta,
+                                robust_alpha=robust_alpha))
+    gnc = robust == "gnc-gm"
+    mu = 1.0
+    mu0 = 1.0
+    # geometric continuation schedule reaching mu=1 at 60% of the budget
+    # (a fixed /1.4 never gets there when mu0 ~ 1e6 from gross outliers)
+    k_gnc = max(1, int(round(0.6 * num_iterations)))
+    if gnc:
+        mu0 = min(GNC_MU0_CAP,
+                  max(1.0, 2.0 * float(max_edge_chi2(graph))
+                      / (robust_delta * robust_delta)))
+        mu = mu0
     if backend == "auto":
         backend = "banded-direct"
-    if backend == "banded-direct":
-        banded = solvers.make_banded_direct(layout)
+    if backend in ("banded-direct", "banded-cr"):
+        make = (solvers.make_banded_cr if backend == "banded-cr"
+                else solvers.make_banded_direct)
+        banded = make(layout)
         if banded is None:
             banded = lambda vals, b: solvers.solve_dense(layout, vals, b)  # noqa: E731
         solve_fn = jax.jit(banded)
@@ -117,14 +191,27 @@ def optimize(
 
     it = 0
     for it in range(1, num_iterations + 1):
-        vals, b, _ = values_fn(graph, jnp.asarray(lam if lm else 0.0, dtype))
+        vals, b, _ = values_fn(graph, jnp.asarray(lam if lm else 0.0, dtype),
+                               mu=jnp.asarray(mu, dtype))
         dx = jnp.asarray(solve_fn(vals, b), dtype=dtype)
         prev_graph = graph
         graph = apply_update_jit(graph, dx)
         norm_dx = float(jnp.linalg.norm(dx))
         error = float(global_error(graph))
         if lm:
-            if not (error <= last_error):  # NaN-safe reject
+            if robust is None:
+                accept = error <= last_error
+            else:
+                # accept on the robust surrogate at the current mu
+                mu_j = jnp.asarray(mu, dtype)
+                trial = float(robust_global_cost(
+                    graph, robust, robust_delta, alpha=robust_alpha,
+                    mu=mu_j))
+                cur = float(robust_global_cost(
+                    prev_graph, robust, robust_delta, alpha=robust_alpha,
+                    mu=mu_j))
+                accept = trial <= cur
+            if not accept:  # NaN-safe reject
                 graph = prev_graph  # rollback (role of rs:277's -dx update)
                 lam *= 2.0
             else:
@@ -137,7 +224,11 @@ def optimize(
             print(f"step {it:3} : |dx| = {norm_dx:3.5f}, error = {error:3.5f}")
         if callback is not None:
             callback(it, graph, error, norm_dx, lam)
-        if norm_dx < tolerance:
+        if gnc:
+            mu = mu0 ** max(0.0, 1.0 - it / k_gnc)
+        # a GNC surrogate can converge while mu is still annealing: keep
+        # iterating until the continuation has reached the target loss
+        if norm_dx < tolerance and not (gnc and mu > 1.0):
             break
 
     return OptimizeResult(graph=graph, errors=errors, norms=norms, iterations=it)
@@ -152,6 +243,7 @@ def make_optimize_jit(
     prior_weight: float = PRIOR_WEIGHT,
     robust: str | None = None,
     robust_delta: float = 1.0,
+    robust_alpha: float = -2.0,
     cg_tol: float = 1e-10,
     cg_maxiter: int | None = None,
 ):
@@ -160,6 +252,7 @@ def make_optimize_jit(
     production TPU path (no host round-trips between iterations)."""
     layout = build_layout(graph_template)
     lm = solver in ("lm", "levenberg_marquardt")
+    gnc = robust == "gnc-gm"
     dtype = (
         graph_template.poses2.dtype
         if graph_template.poses2.size
@@ -179,8 +272,10 @@ def make_optimize_jit(
     elif backend == "cg":
         def solve(vals, b):
             return solvers.solve_cg(layout, vals, b, tol=cg_tol)
-    elif backend == "banded-direct":
-        solve = solvers.make_banded_direct(layout)
+    elif backend in ("banded-direct", "banded-cr"):
+        make = (solvers.make_banded_cr if backend == "banded-cr"
+                else solvers.make_banded_direct)
+        solve = make(layout)
         if solve is None:  # bandwidth too large: dense is the right call
             def solve(vals, b):
                 return solvers.solve_dense(layout, vals, b)
@@ -207,10 +302,19 @@ def make_optimize_jit(
     # on intel.g2o — async copy-start/dynamic-update-slice per field).
     _NODE_FIELDS = ("poses2", "landmarks2", "poses3")
 
+    # GNC continuation: geometric schedule mu(it) = mu0^(1 - it/k),
+    # clamped at 1, reaching the target (non-convex) loss at 60% of the
+    # iteration budget — mu0 comes from the worst initial residual.
+    k_gnc = max(1, int(round(0.6 * num_iterations)))
+
     def cond(state):
         _, _, _, it, norm_dx, _ = state
+        converged = norm_dx < tolerance
+        if gnc:
+            # a GNC surrogate can converge while mu is still annealing
+            converged = jnp.logical_and(converged, it >= k_gnc)
         return jnp.logical_and(it < num_iterations,
-                               jnp.logical_not(norm_dx < tolerance))
+                               jnp.logical_not(converged))
 
     @jax.jit
     def run(graph):
@@ -220,12 +324,21 @@ def make_optimize_jit(
         def get_nodes(g):
             return tuple(getattr(g, f) for f in _NODE_FIELDS)
 
+        def mu_of(it):
+            if not gnc:
+                return None
+            return jnp.exp(
+                jnp.log(mu0) * jnp.clip(1.0 - it / k_gnc, 0.0, 1.0)
+            ).astype(dtype)
+
         def step_lm(state):
             nodes, lam, last_error, it, norm_dx, errors = state
             g = with_nodes(nodes)
             vals, b, _ = system_values(g, lam, prior_weight,
                                        robust=robust,
-                                       robust_delta=robust_delta)
+                                       robust_delta=robust_delta,
+                                       robust_alpha=robust_alpha,
+                                       mu=mu_of(it))
             dx = solve(vals, b)
             new_g = apply_update(g, dx)
             norm_dx = jnp.linalg.norm(dx)
@@ -233,7 +346,19 @@ def make_optimize_jit(
             # NaN-safe reject: a non-finite trial error (e.g. f32 Cholesky
             # breakdown on an ill-conditioned system at small lambda) must
             # count as a rejection, not an acceptance.
-            reject = jnp.logical_not(error <= last_error)
+            if robust is None:
+                reject = jnp.logical_not(error <= last_error)
+            else:
+                # robust runs accept on the ROBUST surrogate objective at
+                # the CURRENT mu (raw chi2 would reject any step that
+                # sacrifices outlier fit); both sides evaluated at the
+                # same mu so the comparison is well-defined under GNC
+                mu_now = mu_of(it)
+                trial = robust_global_cost(new_g, robust, robust_delta,
+                                           alpha=robust_alpha, mu=mu_now)
+                cur = robust_global_cost(g, robust, robust_delta,
+                                         alpha=robust_alpha, mu=mu_now)
+                reject = jnp.logical_not(trial <= cur)
             new_nodes = jax.tree.map(
                 lambda a, b_: jnp.where(reject, a, b_),
                 nodes, get_nodes(new_g),
@@ -256,6 +381,7 @@ def make_optimize_jit(
             vals, b, chi2 = system_values(
                 g, jnp.asarray(0.0, dtype), prior_weight,
                 robust=robust, robust_delta=robust_delta,
+                robust_alpha=robust_alpha, mu=mu_of(it),
             )
             errors = errors.at[it].set(chi2)
             dx = solve(vals, b)
@@ -266,6 +392,11 @@ def make_optimize_jit(
         errors = jnp.full(num_iterations + 1, jnp.nan, dtype=dtype)
         if lm:
             errors = errors.at[0].set(global_error(graph))
+        if gnc:
+            mu0 = jnp.minimum(GNC_MU0_CAP, jnp.maximum(
+                1.0,
+                2.0 * max_edge_chi2(graph) / (robust_delta * robust_delta),
+            )).astype(dtype)
         state = (
             get_nodes(graph),
             jnp.asarray(0.01, dtype),
@@ -305,7 +436,8 @@ class PoseGraph:
         return float(global_error(self.data))
 
     def optimize(self, num_iterations=50, log=False, plot=False, backend="host",
-                 out_dir="img", robust=None, robust_delta=1.0):
+                 out_dir="img", robust=None, robust_delta=1.0,
+                 robust_alpha=-2.0):
         callback = None
         if plot:
             from rustrobotics_tpu.utils.plot import plot_pose_graph
@@ -324,6 +456,7 @@ class PoseGraph:
             backend=backend,
             robust=robust,
             robust_delta=robust_delta,
+            robust_alpha=robust_alpha,
             log=log,
             callback=callback,
         )

@@ -225,6 +225,21 @@ def make_banded_direct(layout: SystemLayout):
     return lambda vals, b: solve_band_chol(bl, vals, b)
 
 
+def make_banded_cr(layout: SystemLayout):
+    """Banded cyclic-reduction direct solve (ops/band_chol.cr_factorize):
+    the log-depth BATCHED factorization — same numerical contract as
+    ``make_banded_direct`` but each level runs nb/2-way batched
+    Cholesky/trsm/gemm on the MXU instead of a sequential chain. Returns
+    a jittable solve(vals, b) or None when the RCM bandwidth is too
+    large."""
+    from rustrobotics_tpu.ops.band_chol import build_band_chol, solve_band_cr
+
+    bl = build_band_chol(layout)
+    if bl is None:
+        return None
+    return lambda vals, b: solve_band_cr(bl, vals, b)
+
+
 def solve_native(layout: SystemLayout, vals, b):
     """Native C++ sparse LDL^T direct solve (RCM + elimination-tree
     up-looking factorization) — the framework's own UMFPACK-role solver.

@@ -282,6 +282,154 @@ def solve_band_chol(bl: BandCholLayout, vals, b):
     return y[jnp.asarray(bl.inv_perm)]
 
 
+# ------------------------------------------------------------------
+# Block cyclic reduction (CR): the parallel factorization.
+#
+# The banded system in kb-block form is block TRIDIAGONAL: diagonal
+# blocks D_j = r_blocks[j, :, kb:], subdiagonal L_j = r_blocks[j, :, :kb]
+# (coupling block j to j-1; L_0 = 0). The lax.scan factorization above is
+# a chain of nb sequential 256-wide stages — measured at ~1.4% of the
+# f32 MXU peak on intel.g2o because nothing overlaps. CR instead
+# eliminates the ODD-indexed blocks of the chain in one shot per level:
+#
+#   D'_t = D_2t - B_{t-1}^T B_{t-1} - A_t^T A_t
+#   L'_t = -B_{t-1}^T A_{t-1}
+#   b'_t = b_2t - B_{t-1}^T u_{t-1} - A_t^T u_t
+#
+# with, per odd block 2t+1 (F_t = chol(D_{2t+1})):
+#   A_t = F_t^{-1} L_{2t+1}      B_t = F_t^{-1} L_{2t+2}^T
+#   u_t = F_t^{-1} b_{2t+1}
+#
+# The reduced system on the even blocks is the Schur complement of the
+# SPD matrix onto those indices — again SPD block tridiagonal — so the
+# recursion is unconditionally well-defined. Every level is BATCHED
+# Cholesky/trsm/gemm over nb/2 blocks (vmapped onto the MXU), and there
+# are only ceil(log2(nb)) levels instead of nb stages. ~4x the FLOPs of
+# the sequential chain, but those FLOPs run at matmul rates: the
+# partitioned-factorization attack on the latency-bound solve
+# (UMFPACK-role boundary, pose_graph_optimization.rs:124-144).
+#
+# The per-level (F, A, B) tensors are kept, so substitution for a new
+# RHS (reduce b down the levels, solve the root, back-substitute
+# x_{2t+1} = F_t^{-T}(u_t - A_t x_2t - B_t x_{2t+2})) costs only batched
+# kb^2 matvecs per level — the factor-once / apply-many shape the
+# Schwarz preconditioner needs.
+# ------------------------------------------------------------------
+
+def _btsolve(f, rhs):
+    """Batched lower-triangular solve F^{-1} rhs over leading axis."""
+    return jax.lax.linalg.triangular_solve(
+        f, rhs, left_side=True, lower=True, transpose_a=False)
+
+
+def _btsolve_t(f, rhs):
+    """Batched F^{-T} rhs over leading axis."""
+    return jax.lax.linalg.triangular_solve(
+        f, rhs, left_side=True, lower=True, transpose_a=True)
+
+
+def _bsym(d):
+    """Mirror batched lower-triangle blocks before factorization."""
+    lo = jnp.tril(d)
+    return lo + jnp.swapaxes(jnp.tril(d, -1), -1, -2)
+
+
+def cr_factorize(r_blocks):
+    """Cyclic-reduction factorization of the block-tridiagonal system.
+
+    r_blocks: (nb, kb, 2kb) block rows from ``_prepare_blocks``.
+    Returns (levels, f_root): levels is a list of (F, A, B) batched
+    (h, kb, kb) tensors per reduction level, f_root the (kb, kb)
+    Cholesky factor of the fully reduced root block.
+    """
+    nb, kb = r_blocks.shape[0], r_blocks.shape[1]
+    dtype = r_blocks.dtype
+    # the scatter fills lower triangles only: mirror ONCE here — every
+    # later level's diagonal is a Schur complement and stays symmetric
+    d = _bsym(r_blocks[:, :, kb:])
+    lo = r_blocks[:, :, :kb]
+    # pad the chain to a power of two with identity diagonals and zero
+    # couplings: padded unknowns decouple and solve to zero harmlessly
+    m = 1 << max(0, (nb - 1).bit_length())
+    if m > nb:
+        d = jnp.concatenate(
+            [d, jnp.broadcast_to(jnp.eye(kb, dtype=dtype),
+                                 (m - nb, kb, kb))])
+        lo = jnp.concatenate([lo, jnp.zeros((m - nb, kb, kb), dtype)])
+
+    levels = []
+    while m > 1:
+        h = m // 2
+        l_odd = lo[1::2]                       # L_{2t+1}
+        l_next = jnp.concatenate(              # L_{2t+2} (0 for t=h-1)
+            [lo[2::2], jnp.zeros((1, kb, kb), dtype)])
+        f = jnp.linalg.cholesky(d[1::2])
+        a = _btsolve(f, l_odd)
+        b = _btsolve(f, jnp.swapaxes(l_next, -1, -2))
+        ata = jnp.einsum("tki,tkj->tij", a, a)
+        btb = jnp.einsum("tki,tkj->tij", b, b)
+        btb_prev = jnp.concatenate(
+            [jnp.zeros((1, kb, kb), dtype), btb[:-1]])
+        d = d[0::2] - ata - btb_prev
+        c = jnp.einsum("tki,tkj->tij", b, a)   # B_t^T A_t
+        lo = jnp.concatenate([jnp.zeros((1, kb, kb), dtype), -c[:-1]])
+        levels.append((f, a, b))
+        m = h
+    f_root = jnp.linalg.cholesky(d[0])
+    return levels, f_root
+
+
+def cr_substitute(levels, f_root, bp):
+    """Solve through a cyclic-reduction factor: bp (nb, kb) -> x (nb, kb)."""
+    nb, kb = bp.shape
+    dtype = bp.dtype
+    m = 1 << max(0, (nb - 1).bit_length())
+    b = (jnp.concatenate([bp, jnp.zeros((m - nb, kb), dtype)])
+         if m > nb else bp)
+
+    us = []
+    for f, a, bt in levels:
+        u = _btsolve(f, b[1::2][..., None])[..., 0]          # (h, kb)
+        corr_a = jnp.einsum("tij,ti->tj", a, u)              # at even t
+        corr_b = jnp.einsum("tij,ti->tj", bt, u)             # at even t+1
+        corr_b = jnp.concatenate(
+            [jnp.zeros((1, kb), dtype), corr_b[:-1]])
+        b = b[0::2] - corr_a - corr_b
+        us.append(u)
+
+    x = _btsolve_t(f_root[None], _btsolve(
+        f_root[None], b[0:1][..., None]))[..., 0]            # (1, kb)
+
+    for (f, a, bt), u in zip(reversed(levels), reversed(us)):
+        h = u.shape[0]
+        x_even = x                                            # (h, kb)
+        x_up = jnp.concatenate([x_even[1:], jnp.zeros((1, kb), dtype)])
+        rhs = (u - jnp.einsum("tij,tj->ti", a, x_even)
+               - jnp.einsum("tij,tj->ti", bt, x_up))
+        x_odd = _btsolve_t(f, rhs[..., None])[..., 0]
+        x = jnp.stack([x_even, x_odd], axis=1).reshape(2 * h, kb)
+    return x[:nb]
+
+
+def solve_band_cr(bl: BandCholLayout, vals, b):
+    """Jittable banded solve via cyclic reduction (same contract as
+    ``solve_band_chol``; log-depth batched factorization)."""
+    dtype = vals.dtype
+    n, kb, nb = bl.n, bl.kb, bl.nb
+    npad = nb * kb
+
+    with jax.default_matmul_precision("highest"):
+        r_blocks, dinv_p = _prepare_blocks(bl, vals)
+        bp = b[jnp.asarray(bl.perm)]
+        bp = jnp.concatenate([bp, jnp.zeros(npad - n, dtype)])
+        bp = (bp * dinv_p).reshape(nb, kb)
+        levels, f_root = cr_factorize(r_blocks)
+        xs = cr_substitute(levels, f_root, bp)
+
+    y = xs.reshape(-1)[:npad] * dinv_p
+    return y[jnp.asarray(bl.inv_perm)]
+
+
 def marginal_covariances(bl: BandCholLayout, vals):
     """Selected inverse: the (kb, kb) DIAGONAL blocks of H^-1 in the
     permuted order, i.e. every dof's marginal (co)variance with its

@@ -30,6 +30,19 @@ def banded_solve_flops(n: int, kb: int, nb: int) -> float:
     return fact + subs
 
 
+def banded_cr_flops(n: int, kb: int, nb: int) -> float:
+    """Cyclic-reduction banded solve (ops/band_chol.cr_factorize +
+    cr_substitute): per level with h odd blocks — batched chol h kb^3/3,
+    two batched trsm 2 h kb^3, three batched gemms 6 h kb^3; levels sum
+    to m = 2^ceil(log2 nb) blocks total. Substitution: ~10 kb^2 per
+    block per direction (lower order)."""
+    m = 1 << max(0, (nb - 1).bit_length())
+    # sum of batch sizes over levels: m/2 + m/4 + ... + 1 = m - 1
+    fact = (m - 1) * ((1.0 / 3.0 + 2.0 + 6.0) * kb**3)
+    subs = m * (10.0 * kb**2)
+    return fact + subs
+
+
 def dense_solve_flops(n: int) -> float:
     """Dense Cholesky n^3/3 + two triangular solves 2 n^2."""
     return n**3 / 3.0 + 2.0 * n**2
@@ -62,6 +75,8 @@ def pgo_iteration_flops(graph, backend: str, band_layout=None) -> float:
     )
     if backend == "banded-direct" and band_layout is not None:
         solve = banded_solve_flops(n, band_layout.kb, band_layout.nb)
+    elif backend == "banded-cr" and band_layout is not None:
+        solve = banded_cr_flops(n, band_layout.kb, band_layout.nb)
     elif backend == "schur":
         n_lm = graph.landmarks2.shape[0]
         solve = schur_solve_flops(n - 2 * n_lm, n_lm)

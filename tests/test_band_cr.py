@@ -1,0 +1,72 @@
+"""Cyclic-reduction banded factorization (ops/band_chol.cr_factorize):
+the log-depth batched-MXU replacement for the sequential block chain.
+
+Parity contract: CR solves the exact same Jacobi-scaled banded system as
+``solve_band_chol`` — same layout, same triplets — so its dx must match
+the sequential factorization AND the f64 sparse-direct host solve (the
+UMFPACK role, pose_graph_optimization.rs:124-144) to roundoff.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rustrobotics_tpu.mapping import solvers
+from rustrobotics_tpu.mapping.assemble import build_layout, system_values
+from rustrobotics_tpu.mapping.g2o import load_g2o
+from rustrobotics_tpu.mapping.synthetic import synthetic_corridor_graph_2d
+from rustrobotics_tpu.ops.band_chol import (
+    build_band_chol,
+    solve_band_chol,
+    solve_band_cr,
+)
+
+
+def _system(graph):
+    lay = build_layout(graph)
+    vals, b, _ = system_values(graph, jnp.float64(0.0))
+    bl = build_band_chol(lay)
+    assert bl is not None
+    return lay, bl, vals, b
+
+
+@pytest.mark.parametrize("num_poses", [7, 64, 523])
+def test_cr_matches_sequential_banded(num_poses):
+    """CR == scan-chain banded Cholesky on corridor graphs spanning
+    1 block row (no levels) through many non-power-of-two block rows."""
+    g = synthetic_corridor_graph_2d(num_poses=num_poses, closure_span=16,
+                                    dtype=jnp.float64)
+    _, bl, vals, b = _system(g)
+    x_cr = np.asarray(solve_band_cr(bl, vals, b))
+    x_seq = np.asarray(solve_band_chol(bl, vals, b))
+    scale = np.abs(x_seq).max() + 1e-30
+    assert np.abs(x_cr - x_seq).max() / scale < 1e-9, num_poses
+
+
+def test_cr_matches_host_direct(dataset_dir):
+    g = load_g2o(dataset_dir / "g2o" / "simulation-pose-landmark.g2o")
+    lay, bl, vals, b = _system(g)
+    x = np.asarray(solve_band_cr(bl, vals, b))
+    ref = np.asarray(solvers.solve_host(lay, vals, b))
+    assert np.abs(x - ref).max() / np.abs(ref).max() < 1e-8
+
+
+@pytest.mark.slow
+def test_cr_matches_host_direct_intel(dataset_dir):
+    g = load_g2o(dataset_dir / "g2o" / "intel.g2o")
+    lay, bl, vals, b = _system(g)
+    x = np.asarray(solve_band_cr(bl, vals, b))
+    ref = np.asarray(solvers.solve_host(lay, vals, b))
+    assert np.abs(x - ref).max() / np.abs(ref).max() < 1e-8
+
+
+def test_cr_backend_golden_chi2(dataset_dir):
+    """Full jitted GN with backend="banded-cr" reaches the reference's
+    converged chi2 on simulation-pose-pose (rs:602-607)."""
+    from rustrobotics_tpu.mapping.pgo import global_error, make_optimize_jit
+
+    g = load_g2o(dataset_dir / "g2o" / "simulation-pose-pose.g2o")
+    run = make_optimize_jit(g, num_iterations=100, backend="banded-cr",
+                            tolerance=1e-4)
+    out, errors, it = run(g)
+    assert abs(float(global_error(out)) - 8269.0) <= 1.0
