@@ -17,22 +17,46 @@ import os
 import sys
 import time
 
-def _tpu_alive(timeout_s=150):
+def _tpu_alive_once(timeout_s=120):
     """Probe TPU/backend health in a SUBPROCESS: a dead axon tunnel makes
     jax.devices() hang forever in-process, which would hang the whole
-    bench. The probe times out instead."""
+    bench. The probe times out instead. The probe also executes a tiny
+    matmul so a tunnel that lists devices but can't dispatch counts as
+    dead."""
     import subprocess
     import sys as _sys
 
+    code = (
+        "import jax, jax.numpy as jnp\n"
+        "d = jax.devices()[0]\n"
+        "x = jnp.ones((128, 128))\n"
+        "jnp.asarray((x @ x).sum()).block_until_ready()\n"
+        "print(d.platform)\n"
+    )
     try:
         r = subprocess.run(
-            [_sys.executable, "-c",
-             "import jax; print(jax.devices()[0].platform)"],
+            [_sys.executable, "-c", code],
             capture_output=True, timeout=timeout_s, text=True,
         )
         return r.returncode == 0 and "cpu" not in r.stdout
     except Exception:
         return False
+
+
+def _tpu_alive(attempts=4, backoffs=(30, 60, 120)):
+    """Retry the probe with backoff (~6 min worst case): a transient
+    tunnel outage must not silently downgrade the round's headline
+    artifact to CPU (that is exactly what happened to BENCH_r02.json)."""
+    if os.environ.get("RUSTROBOTICS_BENCH_SINGLE_PROBE"):
+        return _tpu_alive_once()
+    for k in range(attempts):
+        if _tpu_alive_once():
+            return True
+        if k < len(backoffs):
+            print(f"[bench] tpu probe attempt {k + 1}/{attempts} failed; "
+                  f"retrying in {backoffs[k]}s", file=sys.stderr)
+            time.sleep(backoffs[k])
+    return False
 
 
 _TPU_OK = _tpu_alive()
@@ -120,16 +144,70 @@ def _scaling_extra():
 
     res = []
     try:
-        bench_block_scaling(res, devices=(1, 8), base_poses=1024, iters=4)
+        bench_block_scaling(res, devices=(1, 2, 4, 8), base_poses=1024,
+                            iters=4)
     except Exception as exc:  # scaling proxy must never sink the bench
         return {"scaling_error": str(exc)[:120]}
-    out = {}
+    out = {"scaling": res}
     for r in res:
         if r["metric"].endswith("_d8"):
             kind = "weak" if "weak" in r["metric"] else "strong"
             out[f"{kind}_scaling_eff_pct_8dev_cpu_proxy"] = (
                 r["efficiency_pct"])
     return out
+
+
+def _suite_extra(on_tpu):
+    """Per-graph graph-slam rows ({iters/s, tflops, mfu, compile_s} for
+    intel, dlr, sphere2500, torus3D) + the criterion-analog filter rows
+    (benches/kalman_filter.rs:11-60) — the driver-artifact rows VERDICT
+    round 2 asked for. Failures are recorded, never fatal."""
+    from rustrobotics_tpu.benchmarks import (
+        bench_filter_updates,
+        bench_fixed_lag,
+        bench_graph_slam,
+        bench_pf_scale,
+    )
+
+    rows = []
+    out = {}
+    try:
+        # on the CPU fallback keep only the fast backend per graph so a
+        # degraded run still finishes inside the driver budget
+        backends = ("banded-cr", "banded-direct") if on_tpu \
+            else ("banded-cr",)
+        bench_graph_slam(rows, backends=backends)
+        bench_filter_updates(rows)
+        bench_pf_scale(rows)
+        bench_fixed_lag(rows)
+    except Exception as exc:  # pragma: no cover - defensive
+        out["suite_error"] = str(exc)[:160]
+    out["suite"] = [
+        {k: v for k, v in r.items() if k != "device"} for r in rows
+    ]
+    return out
+
+
+def _revived_tpu_rerun():
+    """After a CPU-fallback run, re-probe once: if the tunnel revived,
+    re-exec the bench in a fresh process (the platform can't be switched
+    after backend init) and forward its JSON line."""
+    import subprocess
+
+    if not _tpu_alive_once():
+        return None
+    env = dict(os.environ, RUSTROBOTICS_BENCH_SINGLE_PROBE="1")
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            capture_output=True, text=True, timeout=3600, env=env,
+        )
+    except Exception:
+        return None
+    if r.returncode != 0:
+        return None
+    lines = [l for l in r.stdout.strip().splitlines() if l.startswith("{")]
+    return lines[-1] if lines else None
 
 
 def main():
@@ -140,14 +218,21 @@ def main():
     iters_per_sec = iters / device_s
     extra = _roofline_extra(graph, device_s, iters)
     extra.update(_scaling_extra())
+    extra.update(_suite_extra(_TPU_OK))
     print(
         f"[bench] {name}: device {device_s*1e3:.1f} ms /10 GN iters "
         f"({iters_per_sec:.1f} it/s) on {jax.devices()[0].platform}; "
         f"host-direct pipeline {host_s*1e3:.1f} ms; "
-        f"chi2 trace head {errors[:4].tolist()}; extra {extra}",
+        f"chi2 trace head {errors[:4].tolist()}",
         file=sys.stderr,
     )
     if not _TPU_OK:
+        revived = _revived_tpu_rerun()
+        if revived is not None:
+            print("[bench] tpu tunnel revived after CPU fallback; "
+                  "reporting the fresh TPU run", file=sys.stderr)
+            print(revived)
+            return
         extra["platform_fallback"] = (
             "tpu tunnel unreachable at bench time; CPU numbers")
     print(

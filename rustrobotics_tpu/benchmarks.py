@@ -270,7 +270,7 @@ def bench_graph_slam(results, dataset_root="/root/reference/dataset",
             first = time.perf_counter() - t0
             t = _bench(lambda: run(graph), repeats=6)
             eff_backend = backend
-            if backend == "banded-direct" and bl is None:
+            if backend in ("banded-direct", "banded-cr") and bl is None:
                 eff_backend = "dense"  # banded fell back
             flops = pgo_iteration_flops(graph, eff_backend, bl) * iters
             tflops = flops / t / 1e12
@@ -310,6 +310,7 @@ def bench_block_scaling(results, devices=(1, 2, 4, 8), base_poses=1024,
     )
     from rustrobotics_tpu.parallel.pgo_blocks import (
         build_block_layout,
+        comm_budget,
         layout_device_arrays,
         make_block_optimize,
     )
@@ -340,23 +341,26 @@ def bench_block_scaling(results, devices=(1, 2, 4, 8), base_poses=1024,
             cg_tol=1e-6, cg_maxiter=200, dtype=jnp.float32,
         )
         t = _bench(lambda: run(state, edges, maps), repeats=4)
-        return t / iters
+        out = run(state, edges, maps)
+        budget = comm_budget(layout, jnp.float32, int(out[2]),
+                             int(out[3]))
+        return t / iters, budget
 
     import os
 
     cores = os.cpu_count() or 1
-    weak = {}
+    weak, weak_budget = {}, {}
     for d in avail:
         g = synthetic_corridor_graph_2d(num_poses=base_poses * d,
                                         closure_span=32,
                                         dtype=jnp.float32)
-        weak[d] = time_block(g, d)
-    strong = {}
+        weak[d], weak_budget[d] = time_block(g, d)
+    strong, strong_budget = {}, {}
     g_fix = synthetic_corridor_graph_2d(num_poses=base_poses * max(avail),
                                         closure_span=32,
                                         dtype=jnp.float32)
     for d in avail:
-        strong[d] = time_block(g_fix, d)
+        strong[d], strong_budget[d] = time_block(g_fix, d)
 
     t1w, t1s = weak[avail[0]], strong[avail[0]]
     note = f"cpu-mesh proxy, {cores}-core host (serialization-normalized)"
@@ -367,6 +371,9 @@ def bench_block_scaling(results, devices=(1, 2, 4, 8), base_poses=1024,
             "metric": f"block_pgo_weak_scaling_d{d}",
             "value": round(1e3 * weak[d], 2), "unit": "ms/GN iter",
             "efficiency_pct": round(100.0 * t1w * serial / weak[d], 1),
+            "cg_rounds_per_gn": weak_budget[d]["cg_rounds_per_gn"],
+            "ppermute_kb_per_gn": round(
+                weak_budget[d]["ppermute_bytes_per_gn"] / 1024, 1),
             "note": note,
         })
         # strong: total work constant -> ideal tD = t1 * serial / d
@@ -375,6 +382,9 @@ def bench_block_scaling(results, devices=(1, 2, 4, 8), base_poses=1024,
             "value": round(1e3 * strong[d], 2), "unit": "ms/GN iter",
             "efficiency_pct": round(
                 100.0 * t1s * serial / (d * strong[d]), 1),
+            "cg_rounds_per_gn": strong_budget[d]["cg_rounds_per_gn"],
+            "ppermute_kb_per_gn": round(
+                strong_budget[d]["ppermute_bytes_per_gn"] / 1024, 1),
             "note": note,
         })
 

@@ -8,7 +8,10 @@ XLA collectives over ICI (psum for normal-equation and CG reductions,
 weight normalization for sharded particle clouds).
 """
 
-from rustrobotics_tpu.parallel.mesh import make_mesh  # noqa: F401
+from rustrobotics_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh,
+    make_mesh_2d,
+)
 from rustrobotics_tpu.parallel.pgo_sharded import (  # noqa: F401
     distributed_gn_step,
     distributed_global_error,
@@ -23,6 +26,8 @@ from rustrobotics_tpu.parallel.block_layout import (  # noqa: F401
 )
 from rustrobotics_tpu.parallel.pgo_blocks import (  # noqa: F401
     block_optimize,
+    block_optimize_multistart,
+    comm_budget,
     make_block_optimize,
     make_block_step,
 )

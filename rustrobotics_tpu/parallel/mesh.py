@@ -21,3 +21,26 @@ def make_mesh(num_devices: int | None = None, axis: str = "shard") -> Mesh:
             )
         devices = devices[:num_devices]
     return Mesh(np.asarray(devices), (axis,))
+
+
+def make_mesh_2d(blocks: int, replicas: int,
+                 axes=("replica", "blocks"), devices=None) -> Mesh:
+    """2-D (replica x blocks) mesh — SURVEY §5's explicit
+    "graph-block axis x replica axis" layout.
+
+    The BLOCKS axis is the fast (innermost) device dimension so ring
+    ppermutes for halo exchange ride contiguous ICI neighbors; the
+    REPLICA axis (data-parallel multi-start / batched graphs, only
+    psum'd once at result selection) takes the slow dimension — across
+    hosts it maps to DCN, which only ever carries replica-level traffic,
+    never the per-CG-round separator exchanges.
+    """
+    if devices is None:
+        devices = jax.devices()
+    need = blocks * replicas
+    if len(devices) < need:
+        raise ValueError(
+            f"requested {blocks}x{replicas} devices, have {len(devices)}"
+        )
+    grid = np.asarray(devices[:need]).reshape(replicas, blocks)
+    return Mesh(grid, tuple(axes))

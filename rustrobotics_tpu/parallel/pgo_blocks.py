@@ -10,16 +10,18 @@ collective moves only SEPARATOR-sized data:
   values; exactly ``h`` boundary rows (h = RCM band, independent of n)
   are ppermute-reduced to the right neighbor(s) once per GN iteration;
 - solve: preconditioned CG whose matvec exchanges ``h`` halo values of x
-  via ppermute and whose dot products psum scalars. Two preconditioners:
-  ``jacobi`` (per-node 6x6 blocks, negligible setup — the default, and
-  the right choice on the 1-core CPU test mesh where every device's
-  FLOPs serialize) and ``schwarz`` (additive Schwarz: each device
-  factors its owned banded diagonal block once per GN iteration,
-  ops/band_chol, and applies it comm-free). Schwarz cuts CG iteration
-  counts roughly an order of magnitude (D=1 converges in ONE iteration),
-  which is what matters on a real pod slice where each CG round costs
-  two sequential ICI collectives — flip the default when deploying
-  multi-chip;
+  via ppermute and whose dot products psum scalars. The matvec is
+  OVERLAPPED: the interior product runs on owned values while the halo
+  ppermutes are in flight; only 2h boundary rows take corrections after
+  they land. Two preconditioners behind a D-aware ``auto`` default:
+  ``jacobi`` (per-node 6x6 blocks, negligible setup — right on one
+  device where CG rounds are cheap) and ``schwarz`` (additive Schwarz:
+  each device cyclic-reduction-factors its owned banded diagonal block
+  once per GN iteration, ops/band_chol.cr_factorize, and applies it
+  comm-free in log depth). Schwarz cuts CG round counts roughly an
+  order of magnitude, which is what matters on a real pod slice where
+  each CG round costs two sequential ICI collectives — ``auto`` picks
+  it whenever D > 1;
 - update: dx halo exchange (h values) + fully local manifold retraction
   of owned and halo node copies (identical arithmetic on both sides, so
   replicas never drift).
@@ -42,7 +44,7 @@ from jax.sharding import PartitionSpec as P
 from rustrobotics_tpu.geometry import se2, se3
 from rustrobotics_tpu.mapping import linearize
 from rustrobotics_tpu.mapping.assemble import PRIOR_WEIGHT, _quad_blocks
-from rustrobotics_tpu.ops.band_chol import _factorize, band_substitute
+from rustrobotics_tpu.ops.band_chol import cr_factorize, cr_substitute
 from rustrobotics_tpu.parallel.block_layout import (
     BlockLayout,
     build_block_layout,
@@ -60,6 +62,34 @@ def _halo_exchange(x, axis, D, ndof, h):
     correspond to dofs outside [0, n_pad) and are never referenced.
     """
     x_ext = jnp.zeros(ndof + 2 * h, x.dtype).at[h:h + ndof].set(x)
+    if h == 0 or D == 1:
+        return x_ext
+    k_hops = -(-h // ndof)
+    for k in range(1, k_hops + 1):
+        lo = max(0, k * ndof - h)
+        ln = ndof - lo
+        if ln > 0:  # left halo, from device d-k
+            recv = jax.lax.ppermute(
+                x[lo:lo + ln], axis, [(i, i + k) for i in range(D - k)]
+            )
+            dst = h - k * ndof + lo
+            x_ext = x_ext.at[dst:dst + ln].set(recv)
+        rn = min(ndof, h - (k - 1) * ndof)
+        if rn > 0:  # right halo, from device d+k
+            recv = jax.lax.ppermute(
+                x[:rn], axis, [(i + k, i) for i in range(D - k)]
+            )
+            dst = h + k * ndof
+            x_ext = x_ext.at[dst:dst + rn].set(recv)
+    return x_ext
+
+
+def _halo_only(x, axis, D, ndof, h):
+    """Like ``_halo_exchange`` but the OWNED slots stay zero: returns the
+    (ndof + 2h,) vector holding only the neighbor-halo values. Used by
+    the overlapped matvec — the interior product runs on the owned
+    values while these ppermutes are in flight."""
+    x_ext = jnp.zeros(ndof + 2 * h, x.dtype)
     if h == 0 or D == 1:
         return x_ext
     k_hops = -(-h // ndof)
@@ -305,19 +335,44 @@ class _Dims:
     dtype: object
     band_pad: object  # (nb_loc, kb_loc, 2kb_loc) np identity pad rows
     schur: bool = False
+    rep: str | None = None  # replica axis name on a 2-D mesh
 
 
 def _dims_from(layout, precond, prior_weight, cg_tol, cg_maxiter, dtype,
                mesh):
+    if precond == "auto":
+        # Schwarz on a real multi-device mesh: each CG round costs two
+        # sequential collectives, and the local banded factor cuts round
+        # counts ~10x (docs/PERFORMANCE.md). Jacobi on one device, where
+        # rounds are cheap and the factorization isn't amortized.
+        precond = "schwarz" if layout.num_devices > 1 else "jacobi"
+    # on a 2-D (replica x blocks) mesh every collective stays on the
+    # LAST (blocks) axis; the replica axis never sees per-CG traffic
     return _Dims(
-        axis=mesh.axis_names[0], D=layout.num_devices, ndof=layout.ndof,
+        axis=mesh.axis_names[-1], D=layout.num_devices, ndof=layout.ndof,
         h=layout.h, W=layout.ell_width, nseg=layout.n_segments,
         nb=layout.n_blocks, kb_loc=layout.kb_loc, nb_loc=layout.nb_loc,
         precond=precond, prior_weight=prior_weight, cg_tol=cg_tol,
         maxiter=(cg_maxiter if cg_maxiter is not None
                  else 2 * layout.n_pad),
         dtype=dtype, band_pad=layout.band_pad, schur=layout.schur,
+        rep=(mesh.axis_names[0] if len(mesh.axis_names) == 2 else None),
     )
+
+
+def _uniform_over_replicas(dm: _Dims, go):
+    """Loop-continuation flag made identical ACROSS replica rows.
+
+    Data-dependent while_loops (CG rounds, GN convergence) execute
+    collectives on the blocks axis; if replica rows disagreed on trip
+    counts, one row would stop issuing collectives while another
+    continues — a cross-row rendezvous deadlock on backends whose
+    collective runtime synchronizes all local devices. A pmax over the
+    replica axis makes every row run until the LAST row converges
+    (converged rows burn a few harmless extra rounds)."""
+    if dm.rep is None:
+        return go
+    return jax.lax.pmax(go.astype(jnp.int32), dm.rep) > 0
 
 
 def _assemble(dm: _Dims, maps, edges, st, lam):
@@ -372,9 +427,12 @@ def _assemble(dm: _Dims, maps, edges, st, lam):
             [dinv_ext[:npad_loc].reshape(nbl, kb),
              dinv_ext[kb:].reshape(nbl, kb)], axis=1)
         r_blocks = r_blocks * row_scale[:, :, None] * col_scale[:, None, :]
+        # cyclic-reduction local factorization: log-depth batched MXU
+        # stages instead of an nb_loc-long sequential chain, and the
+        # per-CG-application substitution is log-depth too
         with jax.default_matmul_precision("highest"):
-            lds, lps = _factorize(r_blocks)
-        pstate = (lds, lps, dinv)
+            levels, f_root = cr_factorize(r_blocks)
+        pstate = (levels, f_root, dinv)
     return tbl, b, chi2, pstate, schur_state
 
 
@@ -390,7 +448,7 @@ def _make_precond(dm: _Dims, maps, pstate):
                             precision=jax.lax.Precision.HIGHEST)
             return yb[dof_block, dof_pos]
     else:
-        lds, lps, dinv = pstate
+        levels, f_root, dinv = pstate
         kb, nbl = dm.kb_loc, dm.nb_loc
         npad_loc = nbl * kb
 
@@ -400,7 +458,7 @@ def _make_precond(dm: _Dims, maps, pstate):
                 [rp, jnp.zeros(npad_loc - dm.ndof, dm.dtype)]
             ).reshape(nbl, kb)
             with jax.default_matmul_precision("highest"):
-                xs = band_substitute(lds, lps, rp)
+                xs = cr_substitute(levels, f_root, rp)
             return xs.reshape(-1)[:dm.ndof] * dinv
     return precond
 
@@ -428,11 +486,28 @@ def _schur_backsub(dm: _Dims, sstate, l2_dof, dx, dx_ext):
 
 
 def _pcg(dm: _Dims, tbl, nbr, precond, b):
-    """Distributed preconditioned CG: halo-exchange matvec + psum dots."""
+    """Distributed preconditioned CG: halo-exchange matvec + psum dots.
+
+    The matvec is OVERLAPPED: the full product runs on the owned values
+    (zeroed halos) while the halo ppermutes are in flight; only the
+    2h boundary rows then receive halo corrections. The interior compute
+    and the collectives have no data dependence, so XLA's scheduler can
+    run them concurrently — on a real pod slice this hides most of the
+    per-round ICI latency."""
+    ndof, h = dm.ndof, dm.h
 
     def matvec(x):
-        x_ext = _halo_exchange(x, dm.axis, dm.D, dm.ndof, dm.h)
-        return jnp.sum(tbl * x_ext[nbr], axis=1)
+        if h == 0 or dm.D == 1:
+            x_ext = jnp.zeros(ndof + 2 * h, x.dtype).at[h:h + ndof].set(x)
+            return jnp.sum(tbl * x_ext[nbr], axis=1)
+        x_own = jnp.zeros(ndof + 2 * h, x.dtype).at[h:h + ndof].set(x)
+        x_halo = _halo_only(x, dm.axis, dm.D, ndof, h)   # in flight ...
+        y = jnp.sum(tbl * x_own[nbr], axis=1)            # ... meanwhile
+        if 2 * h >= ndof:
+            return y + jnp.sum(tbl * x_halo[nbr], axis=1)
+        corr_lo = jnp.sum(tbl[:h] * x_halo[nbr[:h]], axis=1)
+        corr_hi = jnp.sum(tbl[ndof - h:] * x_halo[nbr[ndof - h:]], axis=1)
+        return y.at[:h].add(corr_lo).at[ndof - h:].add(corr_hi)
 
     x0 = jnp.zeros_like(b)
     z0 = precond(b)
@@ -442,21 +517,32 @@ def _pcg(dm: _Dims, tbl, nbr, precond, b):
     atol2 = (dm.cg_tol * dm.cg_tol) * bb
 
     def cond(s):
-        return jnp.logical_and(s[6] < dm.maxiter, s[5] > atol2)
+        return _uniform_over_replicas(
+            dm, jnp.logical_and(s[6] < dm.maxiter, s[5] > atol2))
 
     def step(s):
-        x, r, z, p, rz, _, k = s
+        x, r, z, p, rz, rr, k = s
+        # on a replicated mesh, rows that already converged keep looping
+        # (uniform trip counts) but FREEZE their state: the collectives
+        # still execute, the results are discarded
+        done = rr <= atol2
         ap = matvec(p)
         pap = jax.lax.psum(jnp.vdot(p, ap), dm.axis)
         alpha = rz / pap
-        x = x + alpha * p
-        r = r - alpha * ap
-        z = precond(r)
-        d = jax.lax.psum(jnp.stack([jnp.vdot(r, z), jnp.vdot(r, r)]),
+        x2 = x + alpha * p
+        r2 = r - alpha * ap
+        z2 = precond(r2)
+        d = jax.lax.psum(jnp.stack([jnp.vdot(r2, z2), jnp.vdot(r2, r2)]),
                          dm.axis)
         beta = d[0] / rz
-        p = z + beta * p
-        return (x, r, z, p, d[0], d[1], k + 1)
+        p2 = z2 + beta * p
+        if dm.rep is not None:
+            keep = lambda new, old: jnp.where(done, old, new)  # noqa: E731
+            x2, r2, z2, p2 = (keep(x2, x), keep(r2, r), keep(z2, z),
+                              keep(p2, p))
+            rz2, rr2 = keep(d[0], rz), keep(d[1], rr)
+            return (x2, r2, z2, p2, rz2, rr2, k + 1)
+        return (x2, r2, z2, p2, d[0], d[1], k + 1)
 
     s0 = (x0, b, z0, z0, rz0, bb, jnp.asarray(0, jnp.int32))
     out = jax.lax.while_loop(cond, step, s0)
@@ -487,16 +573,28 @@ def make_block_optimize(
     prior_weight: float = PRIOR_WEIGHT,
     cg_tol: float = 1e-10,
     cg_maxiter: int | None = None,
-    precond: str = "jacobi",
+    precond: str = "auto",
     dtype=jnp.float64,
 ):
     """Build the fully-jitted distributed optimizer.
 
-    Returns ``run(state, edges, maps) -> (state', errors, iters)`` where
-    the tuples come from ``layout_device_arrays``. ``errors`` follows the
-    reference trace layout (mapping.pgo.make_optimize_jit semantics).
+    Returns ``run(state, edges, maps) -> (state', errors, iters,
+    cg_rounds)`` where the tuples come from ``layout_device_arrays``.
+    ``errors`` follows the reference trace layout
+    (mapping.pgo.make_optimize_jit semantics).
+
+    On a 2-D ``make_mesh_2d`` (replica x blocks) mesh the state tuple
+    carries a leading replica axis (R, D, ...): R independent
+    optimizations (multi-start initializations) run simultaneously, each
+    sharded over the blocks axis; edges/maps stay (D, ...) and replicate
+    across replicas. Outputs gain a leading R axis.
     """
-    assert mesh.devices.size == layout.num_devices
+    axes = mesh.axis_names
+    replicated = len(axes) == 2
+    if replicated:
+        assert mesh.devices.shape[-1] == layout.num_devices
+    else:
+        assert mesh.devices.size == layout.num_devices
     dm = _dims_from(layout, precond, prior_weight, cg_tol, cg_maxiter,
                     dtype, mesh)
     lm = solver in ("lm", "levenberg_marquardt")
@@ -504,8 +602,12 @@ def make_block_optimize(
     def unstack(tree):
         return jax.tree.map(lambda a: a[0], tree)
 
+    def unstack_state(tree):
+        return jax.tree.map(lambda a: a[0][0] if replicated else a[0],
+                            tree)
+
     def body(state, edges, maps):
-        st0 = unstack(state)
+        st0 = unstack_state(state)
         edges_l = unstack(edges)
         maps_l = unstack(maps)
         nbr = maps_l[3]
@@ -515,33 +617,34 @@ def make_block_optimize(
             tbl, b, chi2, pstate, sstate = _assemble(
                 dm, maps_l, edges_l, st, lam)
             precond_fn = _make_precond(dm, maps_l, pstate)
-            dx, _ = _pcg(dm, tbl, nbr, precond_fn, -b)  # rhs neg (rs:361)
+            dx, cg_k = _pcg(dm, tbl, nbr, precond_fn, -b)  # rhs neg (rs:361)
             dx_ext = _halo_exchange(dx, dm.axis, dm.D, dm.ndof, dm.h)
             if dm.schur:
                 dx, dx_ext = _schur_backsub(dm, sstate, l2_dof, dx,
                                             dx_ext)
             new_st = _retract(st, dx_ext, p2_dof, l2_dof, p3_dof)
             norm2 = jax.lax.psum(jnp.vdot(dx, dx), dm.axis)
-            return new_st, norm2, chi2
+            return new_st, norm2, chi2, cg_k
 
         def chi2_of(st):
             return jax.lax.psum(_local_chi2(st, edges_l, dtype), dm.axis)
 
         def cond_loop(s):
-            _, _, _, it, norm_dx, _ = s
-            return jnp.logical_and(
+            _, _, _, it, norm_dx, _, _ = s
+            return _uniform_over_replicas(dm, jnp.logical_and(
                 it < num_iterations,
-                jnp.logical_not(norm_dx < tolerance))
+                jnp.logical_not(norm_dx < tolerance)))
 
         def step_gn(s):
-            st, lam, last, it, _, errors = s
-            new_st, norm2, chi2 = do_step(st, jnp.asarray(0.0, dtype))
+            st, lam, last, it, _, errors, cg_total = s
+            new_st, norm2, chi2, cg_k = do_step(st, jnp.asarray(0.0, dtype))
             errors = errors.at[it].set(chi2)
-            return (new_st, lam, chi2, it + 1, jnp.sqrt(norm2), errors)
+            return (new_st, lam, chi2, it + 1, jnp.sqrt(norm2), errors,
+                    cg_total + cg_k)
 
         def step_lm(s):
-            st, lam, last, it, _, errors = s
-            new_st, norm2, chi2 = do_step(st, lam)
+            st, lam, last, it, _, errors, cg_total = s
+            new_st, norm2, chi2, cg_k = do_step(st, lam)
             error = chi2_of(new_st)
             reject = jnp.logical_not(error <= last)
             kept = jax.tree.map(
@@ -549,7 +652,8 @@ def make_block_optimize(
             lam = jnp.where(reject, lam * 2.0, lam / 2.0)
             errors = errors.at[it + 1].set(error)
             new_last = jnp.where(jnp.isnan(error), last, error)
-            return (kept, lam, new_last, it + 1, jnp.sqrt(norm2), errors)
+            return (kept, lam, new_last, it + 1, jnp.sqrt(norm2), errors,
+                    cg_total + cg_k)
 
         errors = jnp.full(num_iterations + 1, jnp.nan, dtype)
         if lm:
@@ -561,23 +665,35 @@ def make_block_optimize(
             jnp.asarray(0, jnp.int32),
             jnp.asarray(jnp.inf, dtype),
             errors,
+            jnp.asarray(0, jnp.int32),
         )
-        st, _, _, it, _, errors = jax.lax.while_loop(
+        st, _, _, it, _, errors, cg_total = jax.lax.while_loop(
             cond_loop, step_lm if lm else step_gn, s0)
         if not lm:
             errors = errors.at[it].set(chi2_of(st))
-        # restack the leading device axis for the out_specs
+        # restack the leading device (and replica) axes for the out_specs
+        if replicated:
+            st = jax.tree.map(lambda a: a[None, None], st)
+            return (st, errors[None], it[None], cg_total[None])
         st = jax.tree.map(lambda a: a[None], st)
-        return st, errors, it
+        return st, errors, it, cg_total
 
     axis = dm.axis
-    spec_state = tuple(P(axis) for _ in _STATE_FIELDS)
-    spec_edges = tuple(P(axis) for _ in _EDGE_FIELDS)
-    spec_maps = tuple(P(axis) for _ in _MAP_FIELDS)
+    if replicated:
+        rep = axes[0]
+        spec_state = tuple(P(rep, axis) for _ in _STATE_FIELDS)
+        spec_edges = tuple(P(axis) for _ in _EDGE_FIELDS)
+        spec_maps = tuple(P(axis) for _ in _MAP_FIELDS)
+        out_specs = (spec_state[:3], P(rep), P(rep), P(rep))
+    else:
+        spec_state = tuple(P(axis) for _ in _STATE_FIELDS)
+        spec_edges = tuple(P(axis) for _ in _EDGE_FIELDS)
+        spec_maps = tuple(P(axis) for _ in _MAP_FIELDS)
+        out_specs = (spec_state[:3], P(), P(), P())
     sharded = shard_map(
         body, mesh=mesh,
         in_specs=(spec_state, spec_edges, spec_maps),
-        out_specs=(spec_state[:3], P(), P()),
+        out_specs=out_specs,
         check_vma=False,
     )
     return jax.jit(sharded)
@@ -589,7 +705,7 @@ def make_block_step(
     prior_weight: float = PRIOR_WEIGHT,
     cg_tol: float = 1e-12,
     cg_maxiter: int | None = None,
-    precond: str = "jacobi",
+    precond: str = "auto",
     dtype=jnp.float64,
 ):
     """One distributed GN step for oracle tests: returns jitted
@@ -669,13 +785,16 @@ def block_optimize(
     prior_weight: float = PRIOR_WEIGHT,
     cg_tol: float = 1e-10,
     cg_maxiter: int | None = None,
-    precond: str = "jacobi",
+    precond: str = "auto",
     schur: bool = False,
+    return_stats: bool = False,
 ):
     """End-to-end convenience: build layout, run the one-program
     distributed optimization, return (graph', errors list, iterations).
     ``schur=True`` eliminates 2D landmark blocks per-device before the
-    distributed CG (see build_block_layout)."""
+    distributed CG (see build_block_layout). ``return_stats=True``
+    appends a dict with the measured communication budget: total CG
+    rounds, collectives and exchanged bytes per GN iteration."""
     dtype = (graph.poses2.dtype if graph.poses2.size else graph.poses3.dtype)
     layout = build_block_layout(graph, mesh.devices.size, schur=schur)
     state, edges, maps = layout_device_arrays(layout, dtype)
@@ -684,10 +803,111 @@ def block_optimize(
         tolerance=tolerance, prior_weight=prior_weight, cg_tol=cg_tol,
         cg_maxiter=cg_maxiter, precond=precond, dtype=dtype,
     )
-    out_state, errors, it = run(state, edges, maps)
+    out_state, errors, it, cg_total = run(state, edges, maps)
     new_graph = extract_graph(layout, graph, out_state)
     errs = [float(e) for e in np.asarray(errors) if not np.isnan(e)]
-    return new_graph, errs, int(it)
+    if not return_stats:
+        return new_graph, errs, int(it)
+    stats = comm_budget(layout, dtype, int(it), int(cg_total))
+    return new_graph, errs, int(it), stats
+
+
+def block_optimize_multistart(
+    mesh,
+    graph,
+    num_iterations: int = 50,
+    jitter: float = 0.1,
+    seed: int = 0,
+    solver: str = "gauss_newton",
+    tolerance: float = 1e-4,
+    prior_weight: float = PRIOR_WEIGHT,
+    cg_tol: float = 1e-10,
+    cg_maxiter: int | None = None,
+    precond: str = "auto",
+):
+    """Data-parallel MULTI-START on a 2-D (replica x blocks) mesh: R
+    independent optimizations from jittered initializations run
+    simultaneously (replica 0 keeps the unperturbed init), each sharded
+    over the blocks axis; the best final chi2 wins. PGO is non-convex —
+    restarts escape the local minima a single descent can land in — and
+    the replica axis makes them free in wall-clock on a pod slice.
+
+    Node jitter is drawn per ORIGINAL node id and scattered through the
+    layout's owned/halo copies, so replicas of the same node never
+    desynchronize. Returns (best graph', per-replica errors list-of-
+    lists, best replica index).
+    """
+    replicas, blocks = mesh.devices.shape
+    dtype = (graph.poses2.dtype if graph.poses2.size else graph.poses3.dtype)
+    layout = build_block_layout(graph, blocks)
+    state, edges, maps = layout_device_arrays(layout, dtype)
+    rng = np.random.default_rng(seed)
+
+    def jittered(arr, orig, n_orig, comps):
+        # (D, rows, c) -> (R, D, rows, c); noise keyed by original node
+        # id so owned and halo copies of a node move together
+        a = np.asarray(arr)
+        noise = rng.normal(size=(replicas, max(n_orig, 1), a.shape[-1]))
+        noise[0] = 0.0
+        noise[..., comps:] = 0.0
+        if n_orig == 0 or a.size == 0:
+            return jnp.asarray(
+                np.broadcast_to(a, (replicas,) + a.shape).copy())
+        per = noise[:, np.asarray(orig), :]  # (R, D, rows, c)
+        return jnp.asarray((a[None] + jitter * per).astype(a.dtype))
+
+    p2, l2, p3 = state
+    state_r = (
+        jittered(p2, layout.p2_orig, graph.poses2.shape[0], 2),
+        jittered(l2, layout.l2_orig, graph.landmarks2.shape[0], 2),
+        jittered(p3, layout.p3_orig, graph.poses3.shape[0], 3),
+    )
+    run = make_block_optimize(
+        mesh, layout, num_iterations=num_iterations, solver=solver,
+        tolerance=tolerance, prior_weight=prior_weight, cg_tol=cg_tol,
+        cg_maxiter=cg_maxiter, precond=precond, dtype=dtype,
+    )
+    out_state, errors, its, _ = run(state_r, edges, maps)
+    errors = np.asarray(errors)
+    its = np.asarray(its)
+    finals = np.asarray([
+        e[~np.isnan(e)][-1] if np.any(~np.isnan(e)) else np.inf
+        for e in errors
+    ])
+    best = int(np.argmin(finals))
+    best_state = jax.tree.map(lambda a: a[best], out_state)
+    new_graph = extract_graph(layout, graph, best_state)
+    traces = [[float(v) for v in e[~np.isnan(e)]] for e in errors]
+    return new_graph, traces, best
+
+
+def comm_budget(layout: BlockLayout, dtype, gn_iters: int, cg_total: int):
+    """Analytic per-iteration communication budget of the block program
+    (measured CG round counts x static per-round volumes). ``bytes``
+    figures are per device per GN iteration.
+
+    Per CG round: one halo exchange of the search direction (2 ppermute
+    hops x h values) + 2 scalar psums. Per GN iteration: the table halo
+    reduce (h rows x (W+1) values) + dx exchange + chi2/norm psums.
+    """
+    itemsize = np.dtype(np.float32 if dtype == jnp.float32
+                        else np.float64).itemsize
+    h, W = layout.h, layout.ell_width
+    gn = max(gn_iters, 1)
+    cg_per_gn = cg_total / gn
+    halo_bytes = h * itemsize
+    return {
+        "gn_iters": gn_iters,
+        "cg_rounds_total": cg_total,
+        "cg_rounds_per_gn": round(cg_per_gn, 1),
+        "halo_dofs_h": int(h),
+        "collectives_per_gn": round(cg_per_gn * 4 + 6, 1),
+        "ppermute_bytes_per_gn": int(
+            cg_per_gn * 2 * halo_bytes            # CG halo exchanges
+            + h * (W + 1) * itemsize              # assembly halo reduce
+            + 2 * halo_bytes),                    # dx exchange
+        "note": "per device per GN iteration; psums are scalar",
+    }
 
 
 def block_optimize_elastic(
@@ -702,7 +922,7 @@ def block_optimize_elastic(
     prior_weight: float = PRIOR_WEIGHT,
     cg_tol: float = 1e-10,
     cg_maxiter: int | None = None,
-    precond: str = "jacobi",
+    precond: str = "auto",
 ):
     """Preemption-safe distributed optimization (SURVEY §5 failure
     detection / elastic recovery — the reference has nothing, its PGO

@@ -92,8 +92,34 @@ def main():
         mesh_b, layout, num_iterations=8, tolerance=0.0, cg_tol=1e-6,
         dtype=jnp.float32,
     )
-    _, errors, it = run(put(state), put(edges), put(maps_))
+    _, errors, it, _ = run(put(state), put(edges), put(maps_))
     errors = np.asarray(errors)
+
+    # ---- 2-D (replica x blocks) mesh with the BLOCKS axis crossing the
+    # process boundary (SURVEY §5's graph-block x replica layout): the
+    # per-CG-round separator ppermutes ride the cross-host (Gloo) link,
+    # the replica axis carries two simultaneous optimizations.
+    devs = jax.devices()  # process-major: p0 owns d0-3, p1 owns d4-7
+    grid = np.array([[devs[0], devs[1], devs[4], devs[5]],
+                     [devs[2], devs[3], devs[6], devs[7]]])
+    mesh2 = Mesh(grid, ("replica", "blocks"))
+    layout4 = build_block_layout(gb, 4)
+    state4, edges4, maps4 = layout_device_arrays(layout4, jnp.float32)
+    sh_b = NamedSharding(mesh2, P("blocks"))
+    sh_rb = NamedSharding(mesh2, P("replica", "blocks"))
+    state_r = tuple(
+        jax.device_put(
+            np.broadcast_to(np.asarray(a), (2,) + a.shape).copy(), sh_rb)
+        for a in state4)
+    edges4 = tuple(jax.device_put(np.asarray(a), sh_b) for a in edges4)
+    maps4 = tuple(jax.device_put(np.asarray(a), sh_b) for a in maps4)
+    run2 = make_block_optimize(
+        mesh2, layout4, num_iterations=8, tolerance=0.0, cg_tol=1e-6,
+        dtype=jnp.float32,
+    )
+    _, errors2, it2, _ = run2(state_r, edges4, maps4)
+    errors2 = np.asarray(errors2)
+    finals2 = [float(e[~np.isnan(e)][-1]) for e in errors2]
 
     out = {
         "chi2_before": float(chi2_before),
@@ -103,6 +129,8 @@ def main():
         "block_chi2_first": float(errors[0]),
         "block_chi2_final": float(errors[~np.isnan(errors)][-1]),
         "block_iters": int(it),
+        "block2d_chi2_final": finals2,
+        "block2d_iters": [int(v) for v in np.asarray(it2)],
     }
     if pid == 0:
         print("RESULT " + json.dumps(out), flush=True)

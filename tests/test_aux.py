@@ -26,6 +26,7 @@ def test_checkpoint_roundtrip(tmp_path):
     assert g2.total_dof == g.total_dof
 
 
+@pytest.mark.slow
 def test_checkpointing_optimizer_resumes(tmp_path):
     from rustrobotics_tpu.mapping.pgo import global_error
 

@@ -51,6 +51,7 @@ def test_block_gn_step_matches_host_direct(dataset_dir, mesh8):
     np.testing.assert_allclose(dx_ref, dx_host, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_block_gn_step_synthetic_all_device_counts():
     """D in {1, 2, 3, 5, 8} all reproduce the host dx — including odd
     counts with uneven chunk padding (halo hop arithmetic exercised)."""
@@ -69,6 +70,7 @@ def test_block_gn_step_synthetic_all_device_counts():
                                    atol=1e-7, err_msg=f"D={d}")
 
 
+@pytest.mark.slow
 def test_block_schwarz_precond_matches_host():
     """Additive-Schwarz preconditioner (local banded Cholesky per device)
     reproduces the same dx; at D=1 it's an exact solve, so CG converges
@@ -89,6 +91,7 @@ def test_block_schwarz_precond_matches_host():
                                    atol=1e-7, err_msg=f"D={d}")
 
 
+@pytest.mark.slow
 def test_block_optimize_matches_host_trace(dataset_dir, mesh8):
     """Per-iteration χ² of the one-program distributed GN == host loop."""
     g = load_g2o(dataset_dir / "g2o" / "simulation-pose-pose.g2o")
@@ -98,6 +101,7 @@ def test_block_optimize_matches_host_trace(dataset_dir, mesh8):
     np.testing.assert_allclose(errs[:4], res.errors[:4], rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_block_lm_converges(mesh8):
     """Distributed Levenberg-Marquardt (accept/reject inside the jitted
     while_loop) matches the host LM trace on a synthetic graph."""
@@ -110,6 +114,7 @@ def test_block_lm_converges(mesh8):
     np.testing.assert_allclose(errs[:6], res.errors[:6], rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_block_schur_step_matches_host(mesh8):
     """Distributed Schur elimination (landmark blocks eliminated
     per-device, clique fill over observation pairs, two-sided halo
@@ -144,6 +149,7 @@ def test_block_schur_landmark_golden(dataset_dir, mesh8):
     assert errs_lm[-1] <= 475.0, errs_lm[-1]
 
 
+@pytest.mark.slow
 def test_block_elastic_resume_after_fault(mesh8, tmp_path):
     """Fault injection for the distributed path: run one checkpointed
     segment, 'crash', resume from the snapshot — the stitched trajectory

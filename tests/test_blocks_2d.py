@@ -1,0 +1,83 @@
+"""2-D (replica x blocks) mesh: SURVEY §5's "explicit mesh (graph-block
+axis x replica axis)".
+
+Contracts:
+- every replica row of the 2-D run reproduces the 1-D blocks-mesh run
+  bit-for-bit when given the same initialization (the replica axis adds
+  no collectives to the solve path);
+- multi-start jitters replicas independently (replica 0 unperturbed) and
+  returns the best-final-chi2 replica.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rustrobotics_tpu.mapping.synthetic import synthetic_corridor_graph_2d
+from rustrobotics_tpu.parallel.mesh import make_mesh, make_mesh_2d
+from rustrobotics_tpu.parallel.pgo_blocks import (
+    block_optimize,
+    block_optimize_multistart,
+    build_block_layout,
+    layout_device_arrays,
+    make_block_optimize,
+)
+
+
+def test_mesh_2d_layout():
+    mesh = make_mesh_2d(blocks=4, replicas=2)
+    assert mesh.axis_names == ("replica", "blocks")
+    assert mesh.devices.shape == (2, 4)
+
+
+def test_replicated_matches_1d_blocks_run():
+    g = synthetic_corridor_graph_2d(num_poses=96, num_landmarks=4,
+                                    dtype=jnp.float64)
+    blocks, replicas = 4, 2
+    layout = build_block_layout(g, blocks)
+    state, edges, maps = layout_device_arrays(layout, jnp.float64)
+
+    mesh1 = make_mesh(blocks, axis="blocks")
+    run1 = make_block_optimize(mesh1, layout, num_iterations=4,
+                               tolerance=0.0, cg_tol=1e-10,
+                               dtype=jnp.float64)
+    st1, errs1, it1, cg1 = run1(state, edges, maps)
+
+    mesh2 = make_mesh_2d(blocks=blocks, replicas=replicas)
+    state_r = jax.tree.map(
+        lambda a: jnp.broadcast_to(a, (replicas,) + a.shape), state)
+    run2 = make_block_optimize(mesh2, layout, num_iterations=4,
+                               tolerance=0.0, cg_tol=1e-10,
+                               dtype=jnp.float64)
+    st2, errs2, it2, cg2 = run2(state_r, edges, maps)
+
+    errs1 = np.asarray(errs1)
+    errs2 = np.asarray(errs2)
+    assert errs2.shape == (replicas,) + errs1.shape
+    for r in range(replicas):
+        np.testing.assert_allclose(errs2[r], errs1, rtol=1e-12)
+        assert int(np.asarray(it2)[r]) == int(it1)
+    for a1, a2 in zip(st1, st2):
+        for r in range(replicas):
+            np.testing.assert_allclose(np.asarray(a2)[r], np.asarray(a1),
+                                       rtol=1e-12)
+
+
+def test_multistart_returns_best_replica():
+    g = synthetic_corridor_graph_2d(num_poses=64, num_landmarks=4,
+                                    dtype=jnp.float64)
+    mesh2 = make_mesh_2d(blocks=4, replicas=2)
+    out, traces, best = block_optimize_multistart(
+        mesh2, g, num_iterations=6, jitter=0.05, tolerance=0.0,
+        cg_tol=1e-10)
+    assert len(traces) == 2
+    finals = [t[-1] for t in traces]
+    assert finals[best] == min(finals)
+    # replica 0 is the unperturbed init: its trace must match the plain
+    # 1-D block run
+    mesh1 = make_mesh(4, axis="blocks")
+    _, errs1, _ = block_optimize(mesh1, g, num_iterations=6,
+                                 tolerance=0.0, cg_tol=1e-10)
+    np.testing.assert_allclose(traces[0], errs1, rtol=1e-10)
+    # all replicas converge to (numerically) the same optimum
+    assert max(finals) - min(finals) < 1e-3 * max(1.0, min(finals))

@@ -353,6 +353,7 @@ def test_fastslam_slam_course():
     assert err.mean() < 0.2, err.mean()
 
 
+@pytest.mark.slow
 def test_fastslam_unknown_correspondences():
     """Per-particle ML data association (every particle associates each
     identity-withheld measurement against its OWN map, two-threshold

@@ -112,6 +112,7 @@ def test_parallel_kalman_matches_sequential():
     np.testing.assert_allclose(np.asarray(par.cov), np.asarray(seq.cov), atol=1e-8)
 
 
+@pytest.mark.slow
 def test_parallel_rts_smoother_matches_sequential():
     from rustrobotics_tpu.localization.kalman_scan import (
         parallel_rts_smoother,
@@ -279,6 +280,7 @@ def test_pf_step_shapes_and_jit():
     assert out.shape == (64, 4)
 
 
+@pytest.mark.slow
 def test_ukf_kc_localizes():
     """UKF known-correspondences (the reference leaves this todo!(),
     localization_landmarks.rs:62)."""

@@ -39,6 +39,7 @@ def test_native_sums_duplicate_triplets():
     np.testing.assert_allclose(a @ x, b, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_native_matches_scipy_on_pgo_system(dataset_dir):
     from rustrobotics_tpu.mapping import load_g2o
     from rustrobotics_tpu.mapping.pgo import linearize_and_solve

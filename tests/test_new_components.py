@@ -58,6 +58,7 @@ def test_eif_matches_ekf_trajectory():
                                rtol=1e-6, atol=1e-10)
 
 
+@pytest.mark.slow
 def test_eif_kc_localizes_with_landmarks():
     """EIF-KC converges on the landmark replay (batched additive
     updates), close to the sequential EKF-KC posterior."""
@@ -322,6 +323,7 @@ def test_scan_matching_pipeline():
     assert prob[27:34, 40:80].max() > 0.7
 
 
+@pytest.mark.slow
 def test_scan_matching_loop_closure_pgo():
     """Closing the loop: on a trajectory that returns to its start, ICP
     loop closures + pose-graph optimization cut the accumulated

@@ -128,6 +128,7 @@ def test_linearize_and_solve_golden(dataset_dir):
     np.testing.assert_allclose(dx[:5], want, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_solver_backends_agree(dataset_dir):
     """dense Cholesky (device), CG (device), and host direct solves of the
     same system agree."""
@@ -212,6 +213,7 @@ def test_banded_direct_golden_chi2(dataset_dir):
     assert abs(float(global_error(out)) - 360.0) <= 1.0
 
 
+@pytest.mark.slow
 def test_m3500_converges(dataset_dir):
     """input_M3500_g2o is bundled but untested by the reference; our
     anchor (f64 banded-direct GN): 2566668 -> 137.91 in 7 iterations."""
@@ -261,6 +263,7 @@ def test_vmapped_batch_optimization():
             < np.asarray(batch_errors[:, 0])).all()
 
 
+@pytest.mark.slow
 def test_marginal_variances(dataset_dir):
     """Selected inversion of the banded factorization reproduces
     diag(H^-1), and uncertainty grows along the chain away from the

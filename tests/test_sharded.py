@@ -70,6 +70,7 @@ def test_distributed_matches_single_device_trajectory(dataset_dir, mesh8):
     np.testing.assert_allclose(errors[:3], res.errors[:3], rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_sharded_pf_matches_single_device_stats(mesh8):
     pf = ParticleFilter(
         r=jnp.eye(4) * 0.01,
@@ -229,3 +230,14 @@ def test_multiprocess_distributed_matches_single_process(tmp_path):
     assert got["block_iters"] == 8
     assert abs(got["block_chi2_final"] - errs[-1]) < 1e-2 * (1 + errs[-1]), (
         got, errs[-1])
+
+    # 2-D (replica x blocks) cross-host mesh: both replica rows (whose
+    # halo ppermutes crossed the Gloo process boundary) must land on the
+    # single-process 4-block result
+    mesh_b4 = make_mesh(4, axis="blocks")
+    _, errs4, _ = block_optimize(mesh_b4, gb, num_iterations=8,
+                                 tolerance=0.0, cg_tol=1e-6)
+    assert got["block2d_iters"] == [8, 8]
+    for final in got["block2d_chi2_final"]:
+        assert abs(final - errs4[-1]) < 1e-2 * (1 + errs4[-1]), (
+            got, errs4[-1])

@@ -5,6 +5,7 @@ Oracles are synthetic cameras with known ground truth."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from rustrobotics_tpu.vision import (
     decompose_projection,
@@ -69,6 +70,7 @@ def test_homography_exact():
     np.testing.assert_allclose(np.asarray(h), h_true, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_zhang_calibration():
     """3+ views of a planar grid recover the intrinsics."""
     rng = np.random.default_rng(2)
@@ -100,6 +102,7 @@ def test_zhang_calibration():
                                [0.02, 0.01, 0.45], atol=0.02)
 
 
+@pytest.mark.slow
 def test_p3p_recovers_pose():
     rng = np.random.default_rng(3)
     r = _rot(0.2, -0.1, 0.4)
@@ -114,6 +117,7 @@ def test_p3p_recovers_pose():
     np.testing.assert_allclose(np.asarray(t_est), t, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_pnp_ransac_with_outliers():
     """Batched-RANSAC PnP recovers the pose with 30% gross outlier
     correspondences (fixed hypothesis batch, one jittable program)."""
@@ -191,6 +195,7 @@ def test_triangulation():
         float(jnp.abs(est - pts).max())
 
 
+@pytest.mark.slow
 def test_bundle_adjustment_reduces_reprojection_error():
     """Perturbed cameras + points recover: reprojection chi2 drops by
     orders of magnitude and the (gauge-fixed) geometry re-aligns."""
