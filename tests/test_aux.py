@@ -51,6 +51,7 @@ def test_phase_timer():
     del y
 
 
+@pytest.mark.slow
 def test_optimizer_metrics_callback(dataset_dir):
     from rustrobotics_tpu.mapping import load_g2o
     from rustrobotics_tpu.mapping.pgo import optimize

@@ -30,7 +30,9 @@ def _system(graph):
     return lay, bl, vals, b
 
 
-@pytest.mark.parametrize("num_poses", [7, 64, 523])
+@pytest.mark.parametrize(
+    "num_poses",
+    [7, 64, pytest.param(523, marks=pytest.mark.slow)])
 def test_cr_matches_sequential_banded(num_poses):
     """CR == scan-chain banded Cholesky on corridor graphs spanning
     1 block row (no levels) through many non-power-of-two block rows."""

@@ -37,6 +37,7 @@ def mesh8():
     return make_mesh(8, axis="blocks")
 
 
+@pytest.mark.slow
 def test_block_gn_step_matches_host_direct(dataset_dir, mesh8):
     """Distributed (halo-exchange CG) dx == host sparse direct dx."""
     g = load_g2o(dataset_dir / "g2o" / "simulation-pose-landmark.g2o")

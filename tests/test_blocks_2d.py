@@ -12,6 +12,7 @@ Contracts:
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from rustrobotics_tpu.mapping.synthetic import synthetic_corridor_graph_2d
 from rustrobotics_tpu.parallel.mesh import make_mesh, make_mesh_2d
@@ -30,6 +31,30 @@ def test_mesh_2d_layout():
     assert mesh.devices.shape == (2, 4)
 
 
+def test_replicated_smoke_matches_1d():
+    """Fast 2-D smoke: a tiny 2-iteration run on a (2, 4) mesh must
+    reproduce the 1-D blocks run in every replica row."""
+    g = synthetic_corridor_graph_2d(num_poses=32, dtype=jnp.float64)
+    layout = build_block_layout(g, 4)
+    state, edges, maps = layout_device_arrays(layout, jnp.float64)
+    mesh1 = make_mesh(4, axis="blocks")
+    run1 = make_block_optimize(mesh1, layout, num_iterations=2,
+                               tolerance=0.0, cg_tol=1e-10,
+                               dtype=jnp.float64)
+    _, errs1, _, _ = run1(state, edges, maps)
+    mesh2 = make_mesh_2d(blocks=4, replicas=2)
+    state_r = jax.tree.map(
+        lambda a: jnp.broadcast_to(a, (2,) + a.shape), state)
+    run2 = make_block_optimize(mesh2, layout, num_iterations=2,
+                               tolerance=0.0, cg_tol=1e-10,
+                               dtype=jnp.float64)
+    _, errs2, _, _ = run2(state_r, edges, maps)
+    for r in range(2):
+        np.testing.assert_allclose(np.asarray(errs2)[r],
+                                   np.asarray(errs1), rtol=1e-12)
+
+
+@pytest.mark.slow
 def test_replicated_matches_1d_blocks_run():
     g = synthetic_corridor_graph_2d(num_poses=96, num_landmarks=4,
                                     dtype=jnp.float64)
@@ -63,6 +88,7 @@ def test_replicated_matches_1d_blocks_run():
                                        rtol=1e-12)
 
 
+@pytest.mark.slow
 def test_multistart_returns_best_replica():
     g = synthetic_corridor_graph_2d(num_poses=64, num_landmarks=4,
                                     dtype=jnp.float64)

@@ -37,7 +37,8 @@ FINAL = [
     ("simulation-pose-pose.g2o", 8269.0, 1.0),
     ("simulation-pose-landmark.g2o", 474.0, 1.0),
     ("intel.g2o", 360.0, 1.0),
-    ("dlr.g2o", 56860.0, 1.0),
+    # dlr is the slowest golden; the anchor stays in the full suite
+    pytest.param("dlr.g2o", 56860.0, 1.0, marks=pytest.mark.slow),
 ]
 
 
@@ -152,6 +153,7 @@ def test_levenberg_marquardt_converges(dataset_dir):
     assert res.errors[-1] < 400.0, res.errors[-1]
 
 
+@pytest.mark.slow
 def test_fully_jitted_optimizer_matches_host(dataset_dir):
     """The lax.while_loop production path (dense Cholesky on device)
     reproduces the host-loop result."""
@@ -170,6 +172,7 @@ def test_optimize_improves_and_converges(dataset_dir):
     assert res.norms[-1] < 1e-4  # hit the convergence criterion (rs:298)
 
 
+@pytest.mark.slow
 def test_schur_backend_reaches_golden_chi2(dataset_dir):
     """Schur-complement landmark elimination (solvers.solve_schur) drives
     GN to the reference's converged chi2 on the landmark graph."""
@@ -355,6 +358,7 @@ def test_robust_kernel_rejects_outlier_closures(dataset_dir):
     assert abs(inlier_chi2(robust) - 360.0) < 10.0, inlier_chi2(robust)
 
 
+@pytest.mark.slow
 def test_pose_covariance_blocks(dataset_dir):
     """Per-pose 3x3 marginal covariance blocks from the banded selected
     inverse match the dense H^-1 blocks."""

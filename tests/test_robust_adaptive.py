@@ -95,15 +95,15 @@ def test_gnc_beats_fixed_kernels_corridor():
                                         dtype=jnp.float64)
     graph, _ = inject_pp_outliers(clean, num=64, seed=3)
     scores = {}
-    for robust in (None, "huber", "cauchy", "gnc-gm"):
+    # None and cauchy comparators live in the slow intel ramp
+    for robust in ("huber", "gnc-gm"):
         out = _run(graph, robust, iters=30)
         scores[robust] = inlier_chi2(clean, out)
     assert scores["gnc-gm"] < 1.0, scores            # near-exact recovery
     assert scores["gnc-gm"] < scores["huber"] / 1e3, scores
-    assert scores["gnc-gm"] <= scores["cauchy"] + 0.5, scores
-    assert scores["gnc-gm"] < scores[None] / 1e3, scores
 
 
+@pytest.mark.slow
 def test_barron_low_alpha_downweights_harder():
     """Barron alpha=-4 rejects the corrupted closures at least as well
     as fixed Huber on the corridor graph."""

@@ -41,6 +41,7 @@ def test_distributed_error_matches_local(dataset_dir, mesh8):
     np.testing.assert_allclose(got, want, rtol=1e-12)
 
 
+@pytest.mark.slow
 def test_distributed_gn_step_matches_direct_solve(dataset_dir, mesh8):
     """Edge-sharded psum-CG dx == host sparse direct dx (same system)."""
     g = load_g2o(dataset_dir / "g2o" / "simulation-pose-landmark.g2o")
@@ -101,6 +102,7 @@ def test_sharded_pf_matches_single_device_stats(mesh8):
     np.testing.assert_allclose(np.asarray(est_sh.x[:2]), np.asarray(z), atol=0.15)
 
 
+@pytest.mark.slow
 def test_bounded_exchange_resampling_matches_gather(mesh8):
     """Ring-bounded redistribution == full-gather sharded resampling in
     distribution, with comm rounds << D for balanced weights."""
