@@ -336,9 +336,13 @@ def bench_block_scaling(results, devices=(1, 2, 4, 8), base_poses=1024,
             return tuple(jax.device_put(_np.asarray(a), sh) for a in t)
 
         state, edges, maps = put(state), put(edges), put(maps)
+        # pin the preconditioner across ALL D (auto would give D=1
+        # jacobi vs D>1 schwarz — different algorithms would corrupt
+        # the scaling-efficiency ratio)
         run = make_block_optimize(
             mesh, layout, num_iterations=iters, tolerance=0.0,
-            cg_tol=1e-6, cg_maxiter=200, dtype=jnp.float32,
+            cg_tol=1e-6, cg_maxiter=200, precond="schwarz",
+            dtype=jnp.float32,
         )
         t = _bench(lambda: run(state, edges, maps), repeats=4)
         out = run(state, edges, maps)
