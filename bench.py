@@ -94,22 +94,34 @@ def _load_graph():
 
 
 def _time_device_path(graph, iters=10, repeats=5):
+    """Measure the headline backend AND the cyclic-reduction variant,
+    returning whichever is faster. The chain factorization is
+    latency-bound (sequential 256-wide stages) and CR is
+    throughput-bound (log-depth batched stages, ~4x FLOPs): which wins
+    depends on the platform, so the headline must pick by measurement —
+    especially when this bench runs unattended at round end."""
     from rustrobotics_tpu.mapping.pgo import make_optimize_jit
 
     g32 = graph.astype(jnp.float32)
-    run = make_optimize_jit(
-        g32, num_iterations=iters, backend="banded-direct", tolerance=0.0
-    )
-    out = run(g32)  # compile + warmup
-    jax.block_until_ready(out)
-    best = float("inf")
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        out = run(g32)
+    timed = {}
+    outs = {}
+    for backend in ("banded-direct", "banded-cr"):
+        run = make_optimize_jit(
+            g32, num_iterations=iters, backend=backend, tolerance=0.0
+        )
+        out = run(g32)  # compile + warmup
         jax.block_until_ready(out)
-        best = min(best, time.perf_counter() - t0)
-    _, errors, _ = out
-    return best, np.asarray(errors)
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            out = run(g32)
+            jax.block_until_ready(out)
+            best = min(best, time.perf_counter() - t0)
+        timed[backend] = best
+        outs[backend] = out
+    backend = min(timed, key=timed.get)
+    _, errors, _ = outs[backend]
+    return timed[backend], np.asarray(errors), backend, timed
 
 
 def _time_host_path(graph, iters=10):
@@ -120,20 +132,25 @@ def _time_host_path(graph, iters=10):
     return time.perf_counter() - t0
 
 
-def _roofline_extra(graph, device_s, iters):
+def _roofline_extra(graph, device_s, iters, backend, timed):
     """Achieved TFLOP/s + MFU of the headline run (roofline.py)."""
     from rustrobotics_tpu.mapping.assemble import build_layout
     from rustrobotics_tpu.ops.band_chol import build_band_chol
     from rustrobotics_tpu.roofline import mfu, pgo_iteration_flops
 
     bl = build_band_chol(build_layout(graph))
-    backend = "banded-direct" if bl is not None else "dense"
+    if bl is None:
+        backend = "dense"
     flops = pgo_iteration_flops(graph, backend, bl) * iters
     platform = jax.devices()[0].platform
     u = mfu(flops / device_s, platform)
     return {
         "tflops": round(flops / device_s / 1e12, 3),
         "mfu_vs_f32_peak": round(u, 4) if u is not None else None,
+        "solver_backend": backend,
+        "backend_ms_per_10it": {
+            k: round(v * 1e3, 1) for k, v in timed.items()
+        },
     }
 
 
@@ -213,10 +230,10 @@ def _revived_tpu_rerun():
 def main():
     graph, name = _load_graph()
     iters = 10
-    device_s, errors = _time_device_path(graph, iters=iters)
+    device_s, errors, backend, timed = _time_device_path(graph, iters=iters)
     host_s = _time_host_path(graph, iters=iters)
     iters_per_sec = iters / device_s
-    extra = _roofline_extra(graph, device_s, iters)
+    extra = _roofline_extra(graph, device_s, iters, backend, timed)
     extra.update(_scaling_extra())
     extra.update(_suite_extra(_TPU_OK))
     print(
