@@ -103,14 +103,24 @@ def _time_device_path(graph, iters=10, repeats=5):
     from rustrobotics_tpu.mapping.pgo import make_optimize_jit
 
     g32 = graph.astype(jnp.float32)
+    backends = ["banded-direct", "banded-cr"]
+    if jax.devices()[0].platform == "tpu":
+        # the fused Pallas chain only makes sense compiled (interpret
+        # mode on the CPU fallback would take minutes)
+        backends.append("banded-pallas")
     timed = {}
     outs = {}
-    for backend in ("banded-direct", "banded-cr"):
-        run = make_optimize_jit(
-            g32, num_iterations=iters, backend=backend, tolerance=0.0
-        )
-        out = run(g32)  # compile + warmup
-        jax.block_until_ready(out)
+    for backend in backends:
+        try:
+            run = make_optimize_jit(
+                g32, num_iterations=iters, backend=backend, tolerance=0.0
+            )
+            out = run(g32)  # compile + warmup
+            jax.block_until_ready(out)
+        except Exception as exc:  # a failing variant must not sink the bench
+            print(f"[bench] backend {backend} failed: {exc}"[:300],
+                  file=sys.stderr)
+            continue
         best = float("inf")
         for _ in range(repeats):
             t0 = time.perf_counter()
@@ -191,8 +201,8 @@ def _suite_extra(on_tpu):
     try:
         # on the CPU fallback keep only the fast backend per graph so a
         # degraded run still finishes inside the driver budget
-        backends = ("banded-cr", "banded-direct") if on_tpu \
-            else ("banded-cr",)
+        backends = ("banded-cr", "banded-direct", "banded-pallas") \
+            if on_tpu else ("banded-cr",)
         bench_graph_slam(rows, backends=backends)
         bench_filter_updates(rows)
         bench_pf_scale(rows)

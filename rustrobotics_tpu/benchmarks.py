@@ -263,14 +263,22 @@ def bench_graph_slam(results, dataset_root="/root/reference/dataset",
         bl = build_band_chol(build_layout(graph))
         for backend in backends:
             iters = 10
-            run = make_optimize_jit(graph, num_iterations=iters,
-                                    backend=backend, tolerance=0.0)
-            t0 = time.perf_counter()
-            jax.block_until_ready(run(graph))
-            first = time.perf_counter() - t0
-            t = _bench(lambda: run(graph), repeats=6)
+            try:
+                run = make_optimize_jit(graph, num_iterations=iters,
+                                        backend=backend, tolerance=0.0)
+                t0 = time.perf_counter()
+                jax.block_until_ready(run(graph))
+                first = time.perf_counter() - t0
+                t = _bench(lambda: run(graph), repeats=6)
+            except Exception as exc:  # one failing variant must not
+                results.append({     # sink the whole suite
+                    "metric": f"graph_slam_{name}_{backend}",
+                    "error": str(exc)[:120],
+                })
+                continue
             eff_backend = backend
-            if backend in ("banded-direct", "banded-cr") and bl is None:
+            if backend in ("banded-direct", "banded-cr",
+                           "banded-pallas") and bl is None:
                 eff_backend = "dense"  # banded fell back
             flops = pgo_iteration_flops(graph, eff_backend, bl) * iters
             tflops = flops / t / 1e12

@@ -164,10 +164,15 @@ def optimize(
         mu = mu0
     if backend == "auto":
         backend = "banded-direct"
-    if backend in ("banded-direct", "banded-cr"):
-        make = (solvers.make_banded_cr if backend == "banded-cr"
-                else solvers.make_banded_direct)
+    if backend in ("banded-direct", "banded-cr", "banded-pallas"):
+        make = {"banded-cr": solvers.make_banded_cr,
+                "banded-pallas": solvers.make_banded_pallas,
+                "banded-direct": solvers.make_banded_direct}[backend]
         banded = make(layout)
+        if banded is None and backend == "banded-pallas":
+            # bandwidth exceeds the kernel's VMEM budget: the XLA chain
+            # still beats dense
+            banded = solvers.make_banded_direct(layout)
         if banded is None:
             banded = lambda vals, b: solvers.solve_dense(layout, vals, b)  # noqa: E731
         solve_fn = jax.jit(banded)
@@ -272,10 +277,13 @@ def make_optimize_jit(
     elif backend == "cg":
         def solve(vals, b):
             return solvers.solve_cg(layout, vals, b, tol=cg_tol)
-    elif backend in ("banded-direct", "banded-cr"):
-        make = (solvers.make_banded_cr if backend == "banded-cr"
-                else solvers.make_banded_direct)
+    elif backend in ("banded-direct", "banded-cr", "banded-pallas"):
+        make = {"banded-cr": solvers.make_banded_cr,
+                "banded-pallas": solvers.make_banded_pallas,
+                "banded-direct": solvers.make_banded_direct}[backend]
         solve = make(layout)
+        if solve is None and backend == "banded-pallas":
+            solve = solvers.make_banded_direct(layout)
         if solve is None:  # bandwidth too large: dense is the right call
             def solve(vals, b):
                 return solvers.solve_dense(layout, vals, b)

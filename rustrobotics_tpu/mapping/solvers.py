@@ -240,6 +240,24 @@ def make_banded_cr(layout: SystemLayout):
     return lambda vals, b: solve_band_cr(bl, vals, b)
 
 
+def make_banded_pallas(layout: SystemLayout):
+    """Fused Pallas banded factorization+substitution
+    (ops/band_chol_pallas): the whole chain in three kernel launches
+    with the running block resident in VMEM. Returns a jittable
+    solve(vals, b) or None when the bandwidth exceeds the kernel's
+    VMEM budget (kb > 512) or the band fell back entirely."""
+    from rustrobotics_tpu.ops.band_chol import build_band_chol
+    from rustrobotics_tpu.ops.band_chol_pallas import (
+        pallas_band_supported,
+        solve_band_pallas,
+    )
+
+    bl = build_band_chol(layout)
+    if not pallas_band_supported(bl):
+        return None
+    return lambda vals, b: solve_band_pallas(bl, vals, b)
+
+
 def solve_native(layout: SystemLayout, vals, b):
     """Native C++ sparse LDL^T direct solve (RCM + elimination-tree
     up-looking factorization) — the framework's own UMFPACK-role solver.

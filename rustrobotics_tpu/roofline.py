@@ -43,6 +43,18 @@ def banded_cr_flops(n: int, kb: int, nb: int) -> float:
     return fact + subs
 
 
+def banded_pallas_flops(n: int, kb: int, nb: int) -> float:
+    """Fused Pallas chain (ops/band_chol_pallas.solve_band_pallas):
+    same chain as banded-direct plus the explicit inverse-factor
+    construction — per block row: base-case chol+inverse ~2/3 kb^3,
+    sub-panel solves + trailing updates ~3 kb^3 (counting the Linv
+    off-diagonal block substitution), coupling panel + Schur update
+    4 kb^3. Substitution sweeps are 8 kb^2 matvecs per row."""
+    fact = nb * ((2.0 / 3.0 + 3.0 + 4.0) * kb**3)
+    subs = nb * (8.0 * kb**2)
+    return fact + subs
+
+
 def dense_solve_flops(n: int) -> float:
     """Dense Cholesky n^3/3 + two triangular solves 2 n^2."""
     return n**3 / 3.0 + 2.0 * n**2
@@ -77,6 +89,15 @@ def pgo_iteration_flops(graph, backend: str, band_layout=None) -> float:
         solve = banded_solve_flops(n, band_layout.kb, band_layout.nb)
     elif backend == "banded-cr" and band_layout is not None:
         solve = banded_cr_flops(n, band_layout.kb, band_layout.nb)
+    elif backend == "banded-pallas" and band_layout is not None:
+        from rustrobotics_tpu.ops.band_chol_pallas import (
+            pallas_band_supported,
+        )
+
+        if pallas_band_supported(band_layout):
+            solve = banded_pallas_flops(n, band_layout.kb, band_layout.nb)
+        else:  # fell back to the XLA chain
+            solve = banded_solve_flops(n, band_layout.kb, band_layout.nb)
     elif backend == "schur":
         n_lm = graph.landmarks2.shape[0]
         solve = schur_solve_flops(n - 2 * n_lm, n_lm)
