@@ -81,8 +81,13 @@ def _panel_chol_inv(a):
     row2d = jax.lax.broadcasted_iota(jnp.int32, (p, p), 0)
 
     def body(j, carry):
+        # value-level dynamic_slice is unsupported in the Mosaic TC
+        # lowering: all row extraction/insertion is masked-select /
+        # masked-reduce over the (p, p) tile instead (same VPU cost
+        # class as the rank-1 update itself)
         a_cur, lt, linv = carry
-        arow = jax.lax.dynamic_slice(a_cur, (j, 0), (1, p))     # row j
+        arow = jnp.sum(jnp.where(row2d == j, a_cur, 0.0),
+                       axis=0, keepdims=True)                    # row j
         d = jnp.sum(jnp.where(lane == j, arow, 0.0))
         s = jax.lax.rsqrt(d)
         lrow = jnp.where(lane >= j, arow, 0.0) * s              # L[:, j] as a row
@@ -92,14 +97,14 @@ def _panel_chol_inv(a):
                        axis=1, keepdims=True) * s               # (p, 1)
         lcol = jnp.where(row2d[:, :1] >= j, lcol, 0.0)
         a_cur = a_cur - lcol * lrow                              # rank-1 Schur
-        lt = jax.lax.dynamic_update_slice(lt, lrow, (j, 0))
+        lt = jnp.where(row2d == j, lrow, lt)                     # write row j
         # L[j, :j] as a row: column j of lt (rows > j still zero; the
         # k = j term multiplies the still-zero Linv row j)
         ljrow = jnp.sum(jnp.where(lane2d == j, lt, 0.0),
                         axis=1)[None, :]
         corr = _dotg(ljrow, linv, ((1,), (0,)))
         linv_row = s * (jnp.where(lane == j, 1.0, 0.0) - corr)
-        linv = jax.lax.dynamic_update_slice(linv, linv_row, (j, 0))
+        linv = jnp.where(row2d == j, linv_row, linv)
         return a_cur, lt, linv
 
     zeros = jnp.zeros((p, p), jnp.float32)
@@ -151,7 +156,7 @@ def _factor_kernel(dsym_ref, lcoup_ref, ldinv_ref, lp_ref, prev_ref, a_ref):
 
     @pl.when(j == 0)
     def _():
-        prev_ref[...] = jnp.zeros_like(prev_ref)
+        prev_ref[...] = jnp.zeros(prev_ref.shape, prev_ref.dtype)
 
     # lp_j = Lcoup_j @ ldinv_{j-1}^T ; running block D_hat = Dsym - lp lp^T
     lp = _dotg(lcoup_ref[0], prev_ref[...], ((1,), (1,)))
@@ -167,7 +172,7 @@ def _fwd_kernel(ldinv_ref, lp_ref, b_ref, y_ref, yprev_ref):
 
     @pl.when(j == 0)
     def _():
-        yprev_ref[...] = jnp.zeros_like(yprev_ref)
+        yprev_ref[...] = jnp.zeros(yprev_ref.shape, yprev_ref.dtype)
 
     # y_j = ldinv_j @ (b_j - lp_j @ y_{j-1})   (row form)
     t = b_ref[0] - _dotg(yprev_ref[...], lp_ref[0], ((1,), (1,)))
@@ -181,7 +186,7 @@ def _bwd_kernel(ldinv_ref, lp_ref, y_ref, x_ref, xnext_ref):
 
     @pl.when(s == 0)
     def _():
-        xnext_ref[...] = jnp.zeros_like(xnext_ref)
+        xnext_ref[...] = jnp.zeros(xnext_ref.shape, xnext_ref.dtype)
 
     # x_j = ldinv_j^T @ (y_j - lp_{j+1}^T @ x_{j+1})   (row form; at the
     # last block the clamped lp block is multiplied by the zero carry)

@@ -97,6 +97,27 @@ def test_substitute_identity_factor():
     np.testing.assert_allclose(np.asarray(x), np.asarray(bp), atol=1e-6)
 
 
+def test_tpu_lowering():
+    """The kernels must lower through the Mosaic TPU pipeline (caught a
+    real failure once: value-level dynamic_slice is unimplemented in
+    the TC lowering). jax.export exercises the Mosaic frontend without
+    needing a chip."""
+    import functools
+
+    nb, kb = 3, 512
+    # x64 mode trips an unbounded recursion inside jax.export's arg
+    # canonicalization (jax 0.9 util.weakrefs_to_sentinel); the kernels
+    # are f32-only anyway
+    with jax.enable_x64(False):
+        r = jax.ShapeDtypeStruct((nb, kb, 2 * kb), jnp.float32)
+        f = jax.jit(functools.partial(factorize_pallas, interpret=False))
+        jax.export.export(f, platforms=["tpu"])(r)
+        ld = jax.ShapeDtypeStruct((nb, kb, kb), jnp.float32)
+        bp = jax.ShapeDtypeStruct((nb, kb), jnp.float32)
+        g = jax.jit(functools.partial(substitute_pallas, interpret=False))
+        jax.export.export(g, platforms=["tpu"])(ld, ld, bp)
+
+
 @pytest.mark.slow
 def test_e2e_golden_trace(sim_pp):
     """10 jitted GN iterations through the Pallas backend track the
