@@ -46,6 +46,7 @@ def test_supported_gate():
     assert not pallas_band_supported(None)
 
 
+@pytest.mark.slow
 def test_factor_matches_chain(sim_pp):
     """ldinv must be the exact inverse of the chain's Cholesky factors,
     and the coupling panels must agree block-for-block."""

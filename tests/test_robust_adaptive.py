@@ -87,6 +87,7 @@ def test_robust_weight_families():
         assert np.all(np.diff(w) <= 1e-12), (name, w)
 
 
+@pytest.mark.slow
 def test_gnc_beats_fixed_kernels_corridor():
     """Outlier-ramp smoke at the HIGH-corruption point (64 gross
     outliers vs ~5 true closures): fixed Huber fails catastrophically,
