@@ -66,25 +66,26 @@ def _dotg(a, b, dims):
     )
 
 
-def _panel_chol_inv(a):
-    """(PANEL, PANEL) symmetric SPD block -> inverse Cholesky factor.
+MICRO = 8
 
-    One fori_loop builds L (transposed, row j = column j of L) and
-    L^-1 row-by-row: row j of the inverse is
-    ``s * (e_j - L[j, :j] @ Linv[:j, :])`` with ``s = 1/L[j,j]`` —
-    rows >= j of Linv are still zero, so the masked matvec needs no
-    upper bound. All (p, p) passes are VPU; the matvec is MXU.
+
+def _chol_inv_small(a, p):
+    """(p, p) symmetric SPD tile -> inverse Cholesky factor, one
+    fori_loop of p scalar-pivot steps.
+
+    Builds L (transposed: row j = column j of L) and L^-1 row-by-row:
+    row j of the inverse is ``s * (e_j - L[j, :j] @ Linv[:j, :])`` with
+    ``s = 1/L[j,j]`` — rows >= j of Linv are still zero, so the masked
+    matvec needs no upper bound. Row extraction/insertion is
+    masked-select/reduce (value-level dynamic_slice does not lower
+    through Mosaic TC). Used at p = MICRO, where every pass is a
+    fraction of a vreg.
     """
-    p = PANEL
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, p), 1)
     lane2d = jax.lax.broadcasted_iota(jnp.int32, (p, p), 1)
     row2d = jax.lax.broadcasted_iota(jnp.int32, (p, p), 0)
 
     def body(j, carry):
-        # value-level dynamic_slice is unsupported in the Mosaic TC
-        # lowering: all row extraction/insertion is masked-select /
-        # masked-reduce over the (p, p) tile instead (same VPU cost
-        # class as the rank-1 update itself)
         a_cur, lt, linv = carry
         arow = jnp.sum(jnp.where(row2d == j, a_cur, 0.0),
                        axis=0, keepdims=True)                    # row j
@@ -109,6 +110,55 @@ def _panel_chol_inv(a):
 
     zeros = jnp.zeros((p, p), jnp.float32)
     _, _, linv = jax.lax.fori_loop(0, p, body, (a, zeros, zeros))
+    return linv
+
+
+def _panel_chol_inv(a):
+    """(PANEL, PANEL) symmetric SPD block -> inverse Cholesky factor.
+
+    Right-looking over MICRO-row groups: the scalar recursion runs only
+    inside the (MICRO, MICRO) pivot tiles (`_chol_inv_small`), while the
+    group panel, rank-MICRO trailing update, and inverse-row
+    construction are static-sliced matmuls. Per 128-panel this is 16
+    groups x ~3 full-tile passes instead of 128 x ~4 — an ~8x cut of
+    the VPU work on the factorization's critical path.
+
+    The group rows of the panel product come for free:
+    ``A[:, G] @ linv8^T`` restricted to rows in G equals
+    ``A_GG linv8^T = L8 L8^T linv8^T = L8``, so one matmul yields both
+    the sub-panel and the pivot factor rows.
+    """
+    p, m = PANEL, MICRO
+    row_col = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
+    lane2d = jax.lax.broadcasted_iota(jnp.int32, (p, p), 1)
+    row2d = jax.lax.broadcasted_iota(jnp.int32, (p, p), 0)
+    lane_g = jax.lax.broadcasted_iota(jnp.int32, (m, p), 1)
+    row_g = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
+
+    linv = jnp.zeros((p, p), jnp.float32)
+    for g in range(p // m):
+        base = g * m
+        sl = slice(base, base + m)
+        # one-hot placement rows E_G (m, p): E_G[i, base+i] = 1 —
+        # value-level .at[].set lowers to an unimplemented scatter in
+        # Mosaic TC, so panel writes go through E_G matmuls + selects
+        eg = jnp.where(lane_g == base + row_g, 1.0, 0.0)
+        linv8 = _chol_inv_small(a[sl, sl], m)
+        lsub = _dotg(a[:, sl], linv8, ((1,), (1,)))              # (p, m)
+        lsub = jnp.where(row_col >= base, lsub, 0.0)
+        placed = _dotg(lsub, eg, ((1,), (0,)))                   # cols at G
+        in_g = (lane2d >= base) & (lane2d < base + m)
+        a = jnp.where(in_g, placed, a)                           # L panel in place
+        below = jnp.where(row_col >= base + m, lsub, 0.0)
+        a = a - _dotg(below, below, ((1,), (1,)))                # rank-m Schur
+        # inverse rows for the group:
+        # Linv[G, :] = linv8 @ (E_G - L[G, :base] @ Linv[:base, :])
+        lg = jnp.where(lane_g < base, a[sl, :], 0.0)             # (m, p)
+        corr = _dotg(lg, linv, ((1,), (0,)))
+        rows = _dotg(linv8, eg - corr, ((1,), (0,)))             # (m, p)
+        rows_placed = _dotg(eg, rows, ((0,), (0,)))              # rows at G
+        in_rows = (row2d >= base) & (row2d < base + m)
+        linv = jnp.where(in_rows, rows_placed, linv)
     return linv
 
 
