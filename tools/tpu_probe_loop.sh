@@ -1,9 +1,12 @@
 #!/bin/bash
-# Poll the axon TPU tunnel until it answers; log status lines to /tmp/tpu_probe.log.
+# Poll the axon TPU tunnel; log status to /tmp/tpu_probe.log. The moment the
+# tunnel answers, OPPORTUNISTICALLY capture the full bench (backend selection,
+# suite rows, scaling) to /tmp/bench_tpu_live_<ts>.json — the tunnel has been
+# flaky for whole rounds, so a revival window must be harvested immediately,
+# not discovered later.
 # jax.devices() hangs in-process when the tunnel is dead -> always probe in a
 # fresh subprocess under timeout.
 LOG=/tmp/tpu_probe.log
-: > "$LOG"
 while true; do
   ts=$(date +%H:%M:%S)
   out=$(timeout 90 python - <<'EOF' 2>&1
@@ -18,8 +21,15 @@ EOF
   rc=$?
   if [ $rc -eq 0 ] && echo "$out" | grep -q "OK.*tpu"; then
     echo "$ts ALIVE $out" >> "$LOG"
+    stamp=$(date +%Y%m%d_%H%M%S)
+    echo "$ts HARVEST starting bench -> /tmp/bench_tpu_live_$stamp.json" >> "$LOG"
+    (cd /root/repo && timeout 2400 python bench.py \
+        > "/tmp/bench_tpu_live_$stamp.json" \
+        2> "/tmp/bench_tpu_live_$stamp.err")
+    echo "$(date +%H:%M:%S) HARVEST done rc=$? ($stamp)" >> "$LOG"
+    sleep 600
   else
     echo "$ts DEAD rc=$rc ${out:0:120}" >> "$LOG"
+    sleep 180
   fi
-  sleep 180
 done
