@@ -119,6 +119,19 @@ def load_g2o(path: str, dtype=np.float64) -> PoseGraphData:
 
 
 def load_g2o_with_meta(path: str, dtype=np.float64):
+    """Parse via the native C++ parser (the framework's equivalent of the
+    reference's native Rust loader) with automatic fallback to the pure-
+    Python tokenizer — both produce bit-identical arrays
+    (tests/test_g2o_native.py pins this on every bundled graph)."""
+    from . import g2o_native
+
+    d = g2o_native.parse_native(path)
+    if d is None:
+        d = _parse_python(path)
+    return _build_graph(d, dtype)
+
+
+def _parse_python(path: str) -> dict:
     b = _Builder({}, {}, {}, [], [], [], {})
     pp, pl, qq = [], [], []
     prior2 = -1
@@ -188,48 +201,76 @@ def load_g2o_with_meta(path: str, dtype=np.float64):
             else:
                 raise ValueError(f"unsupported g2o record {tag!r} in {path}")
 
-    def arr(data, dt=dtype):
-        return jnp.asarray(np.asarray(data, dtype=dt))
-
     def idx(ids, table):
-        return jnp.asarray(np.asarray([table[i] for i in ids], dtype=np.int32))
+        return np.asarray([table[i] for i in ids], dtype=np.int32)
 
     pose2_offsets = [b.offsets[i] for i in sorted(b.pose2_ids, key=b.pose2_ids.get)]
     lm2_offsets = [b.offsets[i] for i in sorted(b.lm2_ids, key=b.lm2_ids.get)]
     pose3_offsets = [b.offsets[i] for i in sorted(b.pose3_ids, key=b.pose3_ids.get)]
 
+    return {
+        "poses2": np.asarray(b.poses2, dtype=np.float64).reshape(-1, 3),
+        "landmarks2": np.asarray(b.landmarks2, dtype=np.float64).reshape(-1, 2),
+        "poses3": np.asarray(b.poses3, dtype=np.float64).reshape(-1, 7),
+        "pp_from": idx([e[0] for e in pp], b.pose2_ids),
+        "pp_to": idx([e[1] for e in pp], b.pose2_ids),
+        "pp_z": np.asarray([e[2] for e in pp], dtype=np.float64).reshape(-1, 3),
+        "pp_omega": np.asarray(
+            [e[3] for e in pp], dtype=np.float64).reshape(-1, 3, 3),
+        "pl_pose": idx([e[0] for e in pl], b.pose2_ids),
+        "pl_lm": idx([e[1] for e in pl], b.lm2_ids),
+        "pl_z": np.asarray([e[2] for e in pl], dtype=np.float64).reshape(-1, 2),
+        "pl_omega": np.asarray(
+            [e[3] for e in pl], dtype=np.float64).reshape(-1, 2, 2),
+        "qq_from": idx([e[0] for e in qq], b.pose3_ids),
+        "qq_to": idx([e[1] for e in qq], b.pose3_ids),
+        "qq_z": np.asarray([e[2] for e in qq], dtype=np.float64).reshape(-1, 7),
+        "qq_omega": np.asarray(
+            [e[3] for e in qq], dtype=np.float64).reshape(-1, 6, 6),
+        "pose2_offsets": np.asarray(pose2_offsets, dtype=np.int32),
+        "lm2_offsets": np.asarray(lm2_offsets, dtype=np.int32),
+        "pose3_offsets": np.asarray(pose3_offsets, dtype=np.int32),
+        "pp_file_index": np.asarray([e[4] for e in pp], dtype=np.int64),
+        "pl_file_index": np.asarray([e[4] for e in pl], dtype=np.int64),
+        "qq_file_index": np.asarray([e[4] for e in qq], dtype=np.int64),
+        "total_dof": b.next_offset,
+        "prior2": b.pose2_ids.get(prior2, -1) if prior2 >= 0 else -1,
+        "prior3": b.pose3_ids.get(prior3, -1) if prior3 >= 0 else -1,
+    }
+
+
+def _build_graph(d: dict, dtype):
+    """Numpy parse dict (native or Python) -> device pytree + meta."""
+
+    def arr(a):
+        return jnp.asarray(np.asarray(a, dtype=dtype))
+
     graph = PoseGraphData(
-        poses2=arr(np.asarray(b.poses2, dtype=dtype).reshape(-1, 3)),
-        landmarks2=arr(np.asarray(b.landmarks2, dtype=dtype).reshape(-1, 2)),
-        poses3=arr(np.asarray(b.poses3, dtype=dtype).reshape(-1, 7)),
-        pp_from=idx([e[0] for e in pp], b.pose2_ids),
-        pp_to=idx([e[1] for e in pp], b.pose2_ids),
-        pp_z=arr(np.asarray([e[2] for e in pp], dtype=dtype).reshape(-1, 3)),
-        pp_omega=arr(
-            np.asarray([e[3] for e in pp], dtype=dtype).reshape(-1, 3, 3)
-        ),
-        pl_pose=idx([e[0] for e in pl], b.pose2_ids),
-        pl_lm=idx([e[1] for e in pl], b.lm2_ids),
-        pl_z=arr(np.asarray([e[2] for e in pl], dtype=dtype).reshape(-1, 2)),
-        pl_omega=arr(
-            np.asarray([e[3] for e in pl], dtype=dtype).reshape(-1, 2, 2)
-        ),
-        qq_from=idx([e[0] for e in qq], b.pose3_ids),
-        qq_to=idx([e[1] for e in qq], b.pose3_ids),
-        qq_z=arr(np.asarray([e[2] for e in qq], dtype=dtype).reshape(-1, 7)),
-        qq_omega=arr(
-            np.asarray([e[3] for e in qq], dtype=dtype).reshape(-1, 6, 6)
-        ),
-        pose2_offsets=jnp.asarray(np.asarray(pose2_offsets, dtype=np.int32)),
-        lm2_offsets=jnp.asarray(np.asarray(lm2_offsets, dtype=np.int32)),
-        pose3_offsets=jnp.asarray(np.asarray(pose3_offsets, dtype=np.int32)),
-        total_dof=b.next_offset,
-        prior2=b.pose2_ids.get(prior2, -1) if prior2 >= 0 else -1,
-        prior3=b.pose3_ids.get(prior3, -1) if prior3 >= 0 else -1,
+        poses2=arr(d["poses2"]),
+        landmarks2=arr(d["landmarks2"]),
+        poses3=arr(d["poses3"]),
+        pp_from=jnp.asarray(d["pp_from"]),
+        pp_to=jnp.asarray(d["pp_to"]),
+        pp_z=arr(d["pp_z"]),
+        pp_omega=arr(d["pp_omega"]),
+        pl_pose=jnp.asarray(d["pl_pose"]),
+        pl_lm=jnp.asarray(d["pl_lm"]),
+        pl_z=arr(d["pl_z"]),
+        pl_omega=arr(d["pl_omega"]),
+        qq_from=jnp.asarray(d["qq_from"]),
+        qq_to=jnp.asarray(d["qq_to"]),
+        qq_z=arr(d["qq_z"]),
+        qq_omega=arr(d["qq_omega"]),
+        pose2_offsets=jnp.asarray(d["pose2_offsets"]),
+        lm2_offsets=jnp.asarray(d["lm2_offsets"]),
+        pose3_offsets=jnp.asarray(d["pose3_offsets"]),
+        total_dof=int(d["total_dof"]),
+        prior2=int(d["prior2"]),
+        prior3=int(d["prior3"]),
     )
     meta = G2OMeta(
-        pp_file_index=np.asarray([e[4] for e in pp], dtype=np.int64),
-        pl_file_index=np.asarray([e[4] for e in pl], dtype=np.int64),
-        qq_file_index=np.asarray([e[4] for e in qq], dtype=np.int64),
+        pp_file_index=d["pp_file_index"],
+        pl_file_index=d["pl_file_index"],
+        qq_file_index=d["qq_file_index"],
     )
     return graph, meta
