@@ -106,8 +106,9 @@ def _time_device_path(graph, iters=10, repeats=5):
     backends = ["banded-direct", "banded-cr"]
     if jax.devices()[0].platform == "tpu":
         # the fused Pallas chain only makes sense compiled (interpret
-        # mode on the CPU fallback would take minutes)
-        backends.append("banded-pallas")
+        # mode on the CPU fallback would take minutes); banded-mixed's
+        # bf16 factor only pays off at MXU matmul rates
+        backends += ["banded-pallas", "banded-mixed"]
     timed = {}
     outs = {}
     for backend in backends:
@@ -203,8 +204,8 @@ def _suite_extra(on_tpu):
         # degraded run still finishes inside the driver budget; the
         # chain factorization wins on CPU (CR trades ~2.5x FLOPs for
         # log-depth, a TPU-only bargain)
-        backends = ("banded-cr", "banded-direct", "banded-pallas") \
-            if on_tpu else ("banded-direct",)
+        backends = ("banded-cr", "banded-direct", "banded-pallas",
+                    "banded-mixed") if on_tpu else ("banded-direct",)
         bench_graph_slam(rows, backends=backends)
         bench_filter_updates(rows)
         bench_pf_scale(rows)

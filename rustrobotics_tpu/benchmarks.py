@@ -277,8 +277,8 @@ def bench_graph_slam(results, dataset_root="/root/reference/dataset",
                 })
                 continue
             eff_backend = backend
-            if backend in ("banded-direct", "banded-cr",
-                           "banded-pallas") and bl is None:
+            if backend in ("banded-direct", "banded-cr", "banded-pallas",
+                           "banded-mixed") and bl is None:
                 eff_backend = "dense"  # banded fell back
             flops = pgo_iteration_flops(graph, eff_backend, bl) * iters
             tflops = flops / t / 1e12

@@ -164,9 +164,11 @@ def optimize(
         mu = mu0
     if backend == "auto":
         backend = "banded-direct"
-    if backend in ("banded-direct", "banded-cr", "banded-pallas"):
+    if backend in ("banded-direct", "banded-cr", "banded-pallas",
+                   "banded-mixed"):
         make = {"banded-cr": solvers.make_banded_cr,
                 "banded-pallas": solvers.make_banded_pallas,
+                "banded-mixed": solvers.make_banded_mixed,
                 "banded-direct": solvers.make_banded_direct}[backend]
         banded = make(layout)
         if banded is None and backend == "banded-pallas":
@@ -277,9 +279,11 @@ def make_optimize_jit(
     elif backend == "cg":
         def solve(vals, b):
             return solvers.solve_cg(layout, vals, b, tol=cg_tol)
-    elif backend in ("banded-direct", "banded-cr", "banded-pallas"):
+    elif backend in ("banded-direct", "banded-cr", "banded-pallas",
+                     "banded-mixed"):
         make = {"banded-cr": solvers.make_banded_cr,
                 "banded-pallas": solvers.make_banded_pallas,
+                "banded-mixed": solvers.make_banded_mixed,
                 "banded-direct": solvers.make_banded_direct}[backend]
         solve = make(layout)
         if solve is None and backend == "banded-pallas":

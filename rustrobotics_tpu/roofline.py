@@ -55,6 +55,21 @@ def banded_pallas_flops(n: int, kb: int, nb: int) -> float:
     return fact + subs
 
 
+def banded_mixed_flops(n: int, kb: int, nb: int, nnz_ell: float,
+                       rounds: int = 64) -> float:
+    """Mixed-precision banded solve (solvers.make_banded_mixed): one
+    bf16 CR factorization (banded_cr_flops' factorization term) plus
+    ``rounds`` CG iterations, each an exact ELL SpMV (2 nnz), one
+    CR-substitution preconditioner apply (~10 kb^2 per block), and ~10n
+    CG vector work. ``rounds`` defaults to the measured intel count
+    (64 to 1e-10 on f64; f32 runs stop earlier) — a conservative floor,
+    so reported MFU never overstates."""
+    m = 1 << max(0, int(nb - 1).bit_length())
+    fact = m * ((1.0 / 3.0 + 2.0 + 6.0) * kb**3)
+    per_round = 2.0 * nnz_ell + m * 10.0 * kb**2 + 10.0 * n
+    return fact + rounds * per_round
+
+
 def dense_solve_flops(n: int) -> float:
     """Dense Cholesky n^3/3 + two triangular solves 2 n^2."""
     return n**3 / 3.0 + 2.0 * n**2
@@ -98,6 +113,12 @@ def pgo_iteration_flops(graph, backend: str, band_layout=None) -> float:
             solve = banded_pallas_flops(n, band_layout.kb, band_layout.nb)
         else:  # fell back to the XLA chain
             solve = banded_solve_flops(n, band_layout.kb, band_layout.nb)
+    elif backend == "banded-mixed" and band_layout is not None:
+        from rustrobotics_tpu.mapping.assemble import build_layout
+
+        nnz_ell = float(build_layout(graph).ell_nbr.size)
+        solve = banded_mixed_flops(n, band_layout.kb, band_layout.nb,
+                                   nnz_ell)
     elif backend == "schur":
         n_lm = graph.landmarks2.shape[0]
         solve = schur_solve_flops(n - 2 * n_lm, n_lm)
