@@ -266,21 +266,35 @@ def make_banded_mixed(layout: SystemLayout, tol=None, maxiter=256):
     runs at the platform's DEFAULT matmul precision (on TPU that is
     1-pass bf16 on the MXU, ~6x the matmul rate of the 6-pass "highest"
     mode every exact backend needs for f32 stability) — then use that
-    cheap factor as the preconditioner of full-precision CG on the exact
-    ELL operator. The expensive O(n kb^2) factorization work runs at
-    bf16 throughput while only the cheap O(n W) SpMV pays full
+    cheap factor as the preconditioner of full-precision CG on the EXACT
+    scaled operator. The expensive O(n kb^2) factorization work runs at
+    bf16 throughput while only the cheap per-round work pays full
     precision. A +2^-8 diagonal lift keeps the truncated band SPD; the
-    lift (not the truncation) sets the preconditioned spectrum, so round
-    counts track the graph's conditioning — measured on CPU-f64 to
-    1e-10: intel 64, sphere2500 68, torus3D 55, dlr (1e7 gauge prior +
-    landmark chains) 233. Whether the ~6x-cheaper factor beats the
-    extra rounds is platform-dependent; ``bench.py`` measures this
-    backend against the exact ones per graph and keeps the winner.
+    lift (not the truncation) sets the preconditioned spectrum
+    (1 + O(2^-8), since the factor is of the very matrix it
+    preconditions), so CG converges in a handful of rounds regardless
+    of the graph's conditioning — measured on CPU-f64 to 1e-10:
+    **5 rounds on all four bundled graphs** (intel, dlr, sphere2500,
+    torus3D — the last needing 233 rounds in an earlier formulation
+    that preconditioned the UNSCALED ELL operator). Solution accuracy
+    equals the exact-f32 backends' (dlr f32: 0.048 rel vs 0.035
+    banded-cr — the 1e7 gauge prior's conditioning floor, not the
+    method). ``bench.py`` still measures this backend against the
+    exact ones per graph and keeps the winner.
+
+    The WHOLE CG runs in the Jacobi-scaled band-permuted space: the
+    operator is the block-tridiagonal ``r_blocks`` tensor itself
+    (y_j = D_j x_j + L_j x_{j-1} + L_{j+1}^T x_{j+1}, three batched MXU
+    matmuls) and the preconditioner is a bare CR substitution — ZERO
+    gathers per round. An ELL gather matvec here would cost ~1 ms/round
+    on TPU (measured 6-7 ns/element on ~100k-element gathers) vs ~30 us
+    of streaming block matmuls; x permutes in once and out once.
 
     Returns a jittable solve(vals, b) or None when the RCM bandwidth is
     too large for the banded path.
     """
     from rustrobotics_tpu.ops.band_chol import (
+        _bsym,
         _prepare_blocks,
         build_band_chol,
         cr_factorize,
@@ -294,6 +308,7 @@ def make_banded_mixed(layout: SystemLayout, tol=None, maxiter=256):
     npad = nb * kb
     perm = jnp.asarray(bl.perm)
     inv_perm = jnp.asarray(bl.inv_perm)
+    hi = jax.lax.Precision.HIGHEST
 
     def solve(vals, b):
         dtype = vals.dtype
@@ -309,18 +324,30 @@ def make_banded_mixed(layout: SystemLayout, tol=None, maxiter=256):
         rb_lp = rb_lp.at[:, :, kb:].add((2.0 ** -8) * eye)
         levels, f_root = cr_factorize(rb_lp)
 
-        def precond(r):
-            rp = r[perm] * dinv_p[:n]
-            rp = jnp.concatenate([rp, jnp.zeros(npad - n, dtype)])
-            xs = cr_substitute(levels, f_root, rp.reshape(nb, kb))
-            y = xs.reshape(-1) * dinv_p
-            return y[inv_perm]
+        # exact scaled operator: the scatter fills lower triangles only,
+        # mirror the diagonal blocks once at setup
+        dsym = _bsym(r_blocks[:, :, kb:])            # (nb, kb, kb)
+        lo = r_blocks[:, :, :kb]                     # L_j (L_0 = 0)
+        lo_next = jnp.concatenate([lo[1:], jnp.zeros((1, kb, kb), dtype)])
 
-        matvec = make_ell_matvec(layout, vals)
-        x, _ = jax.scipy.sparse.linalg.cg(
-            matvec, b, M=precond, tol=cg_tol, maxiter=maxiter
+        def matvec(xs):                              # xs (nb, kb)
+            x_prev = jnp.concatenate([jnp.zeros((1, kb), dtype), xs[:-1]])
+            x_next = jnp.concatenate([xs[1:], jnp.zeros((1, kb), dtype)])
+            return (jnp.einsum("jab,jb->ja", dsym, xs, precision=hi)
+                    + jnp.einsum("jab,jb->ja", lo, x_prev, precision=hi)
+                    + jnp.einsum("jab,ja->jb", lo_next, x_next,
+                                 precision=hi))
+
+        def precond(r):
+            return cr_substitute(levels, f_root, r)
+
+        bp = jnp.concatenate([b[perm], jnp.zeros(npad - n, dtype)]) * dinv_p
+        xs, _ = jax.scipy.sparse.linalg.cg(
+            matvec, bp.reshape(nb, kb), M=precond, tol=cg_tol,
+            maxiter=maxiter,
         )
-        return x
+        y = xs.reshape(-1) * dinv_p
+        return y[inv_perm]
 
     return solve
 

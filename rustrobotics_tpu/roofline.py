@@ -55,18 +55,19 @@ def banded_pallas_flops(n: int, kb: int, nb: int) -> float:
     return fact + subs
 
 
-def banded_mixed_flops(n: int, kb: int, nb: int, nnz_ell: float,
-                       rounds: int = 64) -> float:
+def banded_mixed_flops(n: int, kb: int, nb: int,
+                       rounds: int = 6) -> float:
     """Mixed-precision banded solve (solvers.make_banded_mixed): one
     bf16 CR factorization (banded_cr_flops' factorization term) plus
-    ``rounds`` CG iterations, each an exact ELL SpMV (2 nnz), one
+    ``rounds`` CG iterations, each an exact block-tridiagonal matvec
+    (3 batched kb x kb matmuls per block row = 6 nb kb^2), one
     CR-substitution preconditioner apply (~10 kb^2 per block), and ~10n
-    CG vector work. ``rounds`` defaults to the measured intel count
-    (64 to 1e-10 on f64; f32 runs stop earlier) — a conservative floor,
-    so reported MFU never overstates."""
+    CG vector work. ``rounds`` defaults to 6, just above the measured
+    count (5 to 1e-10 f64 on every bundled graph — the CR factor of the
+    same scaled matrix leaves a 1+O(2^-8) spectrum)."""
     m = 1 << max(0, int(nb - 1).bit_length())
     fact = m * ((1.0 / 3.0 + 2.0 + 6.0) * kb**3)
-    per_round = 2.0 * nnz_ell + m * 10.0 * kb**2 + 10.0 * n
+    per_round = nb * 6.0 * kb**2 + m * 10.0 * kb**2 + 10.0 * n
     return fact + rounds * per_round
 
 
@@ -114,11 +115,7 @@ def pgo_iteration_flops(graph, backend: str, band_layout=None) -> float:
         else:  # fell back to the XLA chain
             solve = banded_solve_flops(n, band_layout.kb, band_layout.nb)
     elif backend == "banded-mixed" and band_layout is not None:
-        from rustrobotics_tpu.mapping.assemble import build_layout
-
-        nnz_ell = float(build_layout(graph).ell_nbr.size)
-        solve = banded_mixed_flops(n, band_layout.kb, band_layout.nb,
-                                   nnz_ell)
+        solve = banded_mixed_flops(n, band_layout.kb, band_layout.nb)
     elif backend == "schur":
         n_lm = graph.landmarks2.shape[0]
         solve = schur_solve_flops(n - 2 * n_lm, n_lm)

@@ -1,7 +1,7 @@
 """Mixed-precision banded backend (solvers.make_banded_mixed):
 bf16-truncated cyclic-reduction factor used as the preconditioner of
-full-precision CG on the exact ELL operator (HPL-AI-style iterative
-refinement).
+full-precision CG on the exact scaled block-tridiagonal operator
+(HPL-AI-style iterative refinement), entirely in band space.
 
 Contract: the SOLVE is exact to the CG tolerance — the low-precision
 factor only shapes the preconditioned spectrum, never the answer — so
