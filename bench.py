@@ -130,7 +130,25 @@ def _time_device_path(graph, iters=10, repeats=5):
             best = min(best, time.perf_counter() - t0)
         timed[backend] = best
         outs[backend] = out
-    backend = min(timed, key=timed.get)
+    # validity gate: a backend only competes on speed if its chi2 trace is
+    # sane — finite, decreasing, and near the best final chi2 across
+    # candidates (guards against e.g. a low-precision factor going
+    # indefinite on hardware the test suite can't reach)
+    finals = {}
+    for k, (_, errs, _) in outs.items():
+        e = np.asarray(errs)
+        e = e[e > 0] if (e > 0).any() else e
+        finals[k] = float(e[-1]) if np.all(np.isfinite(e)) else float("inf")
+    best_final = min(finals.values())
+    valid = {
+        k: v for k, v in timed.items()
+        if np.isfinite(finals[k])
+        and finals[k] <= 1.5 * best_final + 1e-6
+        and finals[k] <= float(np.asarray(outs[k][1])[0])
+    }
+    if not valid:  # pragma: no cover - all backends degenerate
+        valid = timed
+    backend = min(valid, key=valid.get)
     _, errors, _ = outs[backend]
     return timed[backend], np.asarray(errors), backend, timed
 

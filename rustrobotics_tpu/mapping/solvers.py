@@ -258,37 +258,43 @@ def make_banded_pallas(layout: SystemLayout):
     return lambda vals, b: solve_band_pallas(bl, vals, b)
 
 
-def make_banded_mixed(layout: SystemLayout, tol=None, maxiter=256):
+def make_banded_mixed(layout: SystemLayout, tol=None, maxiter=256,
+                      lp="high", lift=None):
     """Mixed-precision banded solve (HPL-AI / iterative-refinement style):
 
-    factor the Jacobi-scaled band ONCE at LOW precision — the values are
-    truncated to bfloat16 storage and the cyclic-reduction factorization
-    runs at the platform's DEFAULT matmul precision (on TPU that is
-    1-pass bf16 on the MXU, ~6x the matmul rate of the 6-pass "highest"
-    mode every exact backend needs for f32 stability) — then use that
+    factor the Jacobi-scaled band ONCE at LOW precision, then use that
     cheap factor as the preconditioner of full-precision CG on the EXACT
-    scaled operator. The expensive O(n kb^2) factorization work runs at
-    bf16 throughput while only the cheap per-round work pays full
-    precision. A +2^-8 diagonal lift keeps the truncated band SPD; the
-    lift (not the truncation) sets the preconditioned spectrum
-    (1 + O(2^-8), since the factor is of the very matrix it
-    preconditions), so CG converges in a handful of rounds regardless
-    of the graph's conditioning — measured on CPU-f64 to 1e-10:
-    **5 rounds on all four bundled graphs** (intel, dlr, sphere2500,
-    torus3D — the last needing 233 rounds in an earlier formulation
-    that preconditioned the UNSCALED ELL operator). Solution accuracy
-    equals the exact-f32 backends' (dlr f32: 0.048 rel vs 0.035
-    banded-cr — the 1e7 gauge prior's conditioning floor, not the
-    method). ``bench.py`` still measures this backend against the
-    exact ones per graph and keeps the winner.
+    scaled operator. Two low-precision modes:
+
+    - ``lp="high"`` (default): the cyclic-reduction factorization runs
+      under matmul precision HIGH (bf16_3x passes on TPU — half the
+      MXU passes of the HIGHEST mode every exact backend needs for f32
+      stability) with full f32 storage. Factor perturbation ~1e-6..1e-5
+      relative, so the preconditioned CG converges in a handful of
+      rounds; a +2^-14 diagonal lift guards SPD against accumulated
+      Schur-complement rounding across the log2(nb) CR levels.
+    - ``lp="bf16"``: values truncated to bfloat16 storage and factored
+      at platform-default precision (1-pass bf16 MXU, ~6x the HIGHEST
+      matmul rate). The ~2^-8 relative perturbation times the scaled
+      system's conditioning sets the round count — measured eager-PCG
+      on CPU-f64 to 1e-10: intel 64, dlr 233, so the 6x-cheaper factor
+      only wins on well-conditioned graphs. Kept for measurement;
+      ``bench.py`` gates every variant on a sane chi2 trace and picks
+      the fastest per graph.
 
     The WHOLE CG runs in the Jacobi-scaled band-permuted space: the
     operator is the block-tridiagonal ``r_blocks`` tensor itself
     (y_j = D_j x_j + L_j x_{j-1} + L_{j+1}^T x_{j+1}, three batched MXU
-    matmuls) and the preconditioner is a bare CR substitution — ZERO
-    gathers per round. An ELL gather matvec here would cost ~1 ms/round
-    on TPU (measured 6-7 ns/element on ~100k-element gathers) vs ~30 us
-    of streaming block matmuls; x permutes in once and out once.
+    matmuls) and the preconditioner is a CR substitution through
+    PRECOMPUTED inverse factors (``cr_invert``) — pure batched GEMMs,
+    zero gathers and zero triangular solves per round. An ELL gather
+    matvec here would cost ~1 ms/round on TPU (measured 6-7 ns/element
+    on ~100k-element gathers) vs ~30 us of streaming block matmuls;
+    x permutes in once and out once.
+
+    Solution accuracy equals the exact-f32 backends' (dlr f32: 0.048
+    rel vs 0.035 banded-cr against the f64 host oracle — the 1e7 gauge
+    prior's conditioning floor, not the method).
 
     Returns a jittable solve(vals, b) or None when the RCM bandwidth is
     too large for the banded path.
@@ -298,7 +304,8 @@ def make_banded_mixed(layout: SystemLayout, tol=None, maxiter=256):
         _prepare_blocks,
         build_band_chol,
         cr_factorize,
-        cr_substitute,
+        cr_invert,
+        cr_substitute_inv,
     )
 
     bl = build_band_chol(layout)
@@ -309,6 +316,8 @@ def make_banded_mixed(layout: SystemLayout, tol=None, maxiter=256):
     perm = jnp.asarray(bl.perm)
     inv_perm = jnp.asarray(bl.inv_perm)
     hi = jax.lax.Precision.HIGHEST
+    lift_v = lift if lift is not None else (
+        2.0 ** -8 if lp == "bf16" else 2.0 ** -14)
 
     def solve(vals, b):
         dtype = vals.dtype
@@ -317,12 +326,16 @@ def make_banded_mixed(layout: SystemLayout, tol=None, maxiter=256):
         else:
             cg_tol = tol
         r_blocks, dinv_p = _prepare_blocks(bl, vals)
-        # low-precision factor: bf16 storage truncation + default-precision
-        # matmuls; diagonal lift keeps the perturbed band SPD
-        rb_lp = r_blocks.astype(jnp.bfloat16).astype(dtype)
         eye = jnp.eye(kb, dtype=dtype)
-        rb_lp = rb_lp.at[:, :, kb:].add((2.0 ** -8) * eye)
-        levels, f_root = cr_factorize(rb_lp)
+        if lp == "bf16":
+            rb_lp = r_blocks.astype(jnp.bfloat16).astype(dtype)
+            rb_lp = rb_lp.at[:, :, kb:].add(lift_v * eye)
+            levels, f_root = cr_factorize(rb_lp)
+        else:
+            rb_lp = r_blocks.at[:, :, kb:].add(lift_v * eye)
+            with jax.default_matmul_precision("high"):
+                levels, f_root = cr_factorize(rb_lp)
+        inv_levels, root_inv = cr_invert(levels, f_root)
 
         # exact scaled operator: the scatter fills lower triangles only,
         # mirror the diagonal blocks once at setup
@@ -339,7 +352,7 @@ def make_banded_mixed(layout: SystemLayout, tol=None, maxiter=256):
                                  precision=hi))
 
         def precond(r):
-            return cr_substitute(levels, f_root, r)
+            return cr_substitute_inv(inv_levels, root_inv, r)
 
         bp = jnp.concatenate([b[perm], jnp.zeros(npad - n, dtype)]) * dinv_p
         xs, _ = jax.scipy.sparse.linalg.cg(

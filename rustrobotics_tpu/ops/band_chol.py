@@ -411,6 +411,59 @@ def cr_substitute(levels, f_root, bp):
     return x[:nb]
 
 
+def cr_invert(levels, f_root):
+    """Precompute EXPLICIT inverses of every CR triangular factor so the
+    substitution becomes pure batched GEMMs (MXU work) instead of
+    latency-bound batched triangular solves — the right trade for a
+    PRECONDITIONER apply that runs every CG round (inverse-multiply
+    carries ~2x the rounding of a trsm, which a preconditioner
+    tolerates but an exact solve should not).
+
+    Returns (inv_levels, root_inv): per level (Finv, A, B) with
+    Finv = F^-1 (h, kb, kb), plus the root's inverse factor."""
+    kb = f_root.shape[-1]
+    eye = jnp.eye(kb, dtype=f_root.dtype)
+    inv_levels = []
+    for f, a, b in levels:
+        finv = _btsolve(f, jnp.broadcast_to(eye, f.shape))
+        inv_levels.append((finv, a, b))
+    root_inv = jax.scipy.linalg.solve_triangular(f_root, eye, lower=True)
+    return inv_levels, root_inv
+
+
+def cr_substitute_inv(inv_levels, root_inv, bp):
+    """``cr_substitute`` on precomputed inverse factors: every
+    triangular solve becomes a batched (kb, kb) @ (kb,) einsum."""
+    nb, kb = bp.shape
+    dtype = bp.dtype
+    m = 1 << max(0, (nb - 1).bit_length())
+    b = (jnp.concatenate([bp, jnp.zeros((m - nb, kb), dtype)])
+         if m > nb else bp)
+
+    us = []
+    for finv, a, bt in inv_levels:
+        u = jnp.einsum("tij,tj->ti", finv, b[1::2])
+        corr_a = jnp.einsum("tij,ti->tj", a, u)
+        corr_b = jnp.einsum("tij,ti->tj", bt, u)
+        corr_b = jnp.concatenate(
+            [jnp.zeros((1, kb), dtype), corr_b[:-1]])
+        b = b[0::2] - corr_a - corr_b
+        us.append(u)
+
+    x = root_inv.T @ (root_inv @ b[0])
+    x = x[None]
+
+    for (finv, a, bt), u in zip(reversed(inv_levels), reversed(us)):
+        h = u.shape[0]
+        x_even = x
+        x_up = jnp.concatenate([x_even[1:], jnp.zeros((1, kb), dtype)])
+        rhs = (u - jnp.einsum("tij,tj->ti", a, x_even)
+               - jnp.einsum("tij,tj->ti", bt, x_up))
+        x_odd = jnp.einsum("tji,tj->ti", finv, rhs)
+        x = jnp.stack([x_even, x_odd], axis=1).reshape(2 * h, kb)
+    return x[:nb]
+
+
 def solve_band_cr(bl: BandCholLayout, vals, b):
     """Jittable banded solve via cyclic reduction (same contract as
     ``solve_band_chol``; log-depth batched factorization)."""

@@ -62,9 +62,10 @@ def banded_mixed_flops(n: int, kb: int, nb: int,
     ``rounds`` CG iterations, each an exact block-tridiagonal matvec
     (3 batched kb x kb matmuls per block row = 6 nb kb^2), one
     CR-substitution preconditioner apply (~10 kb^2 per block), and ~10n
-    CG vector work. ``rounds`` defaults to 6, just above the measured
-    count (5 to 1e-10 f64 on every bundled graph — the CR factor of the
-    same scaled matrix leaves a 1+O(2^-8) spectrum)."""
+    CG vector work. ``rounds`` defaults to 6 — the expected count for
+    the default lp="high" factor (perturbation ~1e-5; the lp="bf16"
+    variant measures 64-233 rounds and only wins on well-conditioned
+    graphs). A conservative floor so reported MFU never overstates."""
     m = 1 << max(0, int(nb - 1).bit_length())
     fact = m * ((1.0 / 3.0 + 2.0 + 6.0) * kb**3)
     per_round = nb * 6.0 * kb**2 + m * 10.0 * kb**2 + 10.0 * n

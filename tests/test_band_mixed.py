@@ -46,6 +46,48 @@ def test_mixed_matches_host_direct(dataset_dir):
     assert np.abs(x - ref).max() / np.abs(ref).max() < 1e-7
 
 
+def test_cr_invert_substitution_parity():
+    """cr_substitute_inv on precomputed inverse factors must reproduce
+    the trsm-based cr_substitute (same factor, GEMM-only apply)."""
+    from rustrobotics_tpu.ops.band_chol import (
+        _prepare_blocks,
+        build_band_chol,
+        cr_factorize,
+        cr_invert,
+        cr_substitute,
+        cr_substitute_inv,
+    )
+
+    g = synthetic_corridor_graph_2d(num_poses=96, closure_span=16,
+                                    dtype=jnp.float64)
+    lay = build_layout(g)
+    vals, b, _ = system_values(g, jnp.float64(0.0))
+    bl = build_band_chol(lay)
+    r_blocks, dinv_p = _prepare_blocks(bl, vals)
+    levels, f_root = cr_factorize(r_blocks)
+    inv_levels, root_inv = cr_invert(levels, f_root)
+    npad = bl.nb * bl.kb
+    bp = (jnp.concatenate([b[jnp.asarray(bl.perm)],
+                           jnp.zeros(npad - bl.n, b.dtype)])
+          * dinv_p).reshape(bl.nb, bl.kb)
+    x_trsm = np.asarray(cr_substitute(levels, f_root, bp))
+    x_gemm = np.asarray(cr_substitute_inv(inv_levels, root_inv, bp))
+    np.testing.assert_allclose(x_gemm, x_trsm, rtol=1e-9, atol=1e-12)
+
+
+def test_mixed_bf16_mode_matches_host_direct():
+    """The lp="bf16" variant (truncated storage + 2^-8 lift) must still
+    solve EXACTLY to the CG tolerance — only its round count differs."""
+    g = synthetic_corridor_graph_2d(num_poses=96, closure_span=16,
+                                    dtype=jnp.float64)
+    lay = build_layout(g)
+    vals, b, _ = system_values(g, jnp.float64(0.0))
+    solve = solvers.make_banded_mixed(lay, lp="bf16")
+    x = np.asarray(solve(vals, b))
+    ref = np.asarray(solvers.solve_host(lay, vals, b))
+    assert np.abs(x - ref).max() / (np.abs(ref).max() + 1e-30) < 1e-7
+
+
 def test_mixed_backend_golden_chi2(dataset_dir):
     """Full jitted GN with backend="banded-mixed" reaches the reference's
     converged chi2 on simulation-pose-pose (rs:602-607)."""
