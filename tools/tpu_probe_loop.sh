@@ -23,6 +23,10 @@ EOF
     echo "$ts ALIVE $out" >> "$LOG"
     stamp=$(date +%Y%m%d_%H%M%S)
     echo "$ts HARVEST starting bench -> /tmp/bench_tpu_live_$stamp.json" >> "$LOG"
+    (cd /root/repo && timeout 1200 python tools/tpu_microbench.py intel dlr \
+        > "/tmp/microbench_tpu_$stamp.json" \
+        2> "/tmp/microbench_tpu_$stamp.err")
+    echo "$(date +%H:%M:%S) MICROBENCH done rc=$? ($stamp)" >> "$LOG"
     (cd /root/repo && timeout 2400 python bench.py \
         > "/tmp/bench_tpu_live_$stamp.json" \
         2> "/tmp/bench_tpu_live_$stamp.err")
