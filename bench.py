@@ -213,6 +213,7 @@ def _suite_extra(on_tpu):
         bench_fixed_lag,
         bench_graph_slam,
         bench_pf_scale,
+        bench_pgo_batch,
     )
 
     rows = []
@@ -225,6 +226,7 @@ def _suite_extra(on_tpu):
         backends = ("banded-cr", "banded-direct", "banded-pallas",
                     "banded-mixed") if on_tpu else ("banded-direct",)
         bench_graph_slam(rows, backends=backends)
+        bench_pgo_batch(rows)
         bench_filter_updates(rows)
         bench_pf_scale(rows)
         bench_fixed_lag(rows)

@@ -292,6 +292,60 @@ def bench_graph_slam(results, dataset_root="/root/reference/dataset",
             })
 
 
+def bench_pgo_batch(results, dataset_root="/root/reference/dataset",
+                    graph="intel", batch=None, iters=10):
+    """Fleet throughput: B same-structure graphs optimized by ONE
+    vmapped XLA program (pgo.make_optimize_batch) vs B sequential jit
+    runs — the batch axis the reference's one-graph-at-a-time UMFPACK
+    architecture cannot express (pose_graph_optimization.rs:215-303).
+    Reports graphs/s and the batching speedup."""
+    import dataclasses
+    import os
+
+    from rustrobotics_tpu.mapping import load_g2o
+    from rustrobotics_tpu.mapping.pgo import (
+        make_optimize_batch,
+        make_optimize_jit,
+        stack_graphs,
+    )
+
+    platform = jax.devices()[0].platform
+    if batch is None:
+        batch = 8 if platform == "tpu" else 2
+    path = os.path.join(dataset_root, "g2o", f"{graph}.g2o")
+    if not os.path.exists(path):
+        return
+    g = load_g2o(path).astype(jnp.float32)
+    graphs = [g]
+    for i in range(1, batch):
+        noise = 0.01 * jax.random.normal(jax.random.key(i),
+                                         g.poses2.shape, g.poses2.dtype)
+        graphs.append(dataclasses.replace(g, poses2=g.poses2 + noise))
+    batched = stack_graphs(graphs)
+    try:
+        run_b = make_optimize_batch(g, num_iterations=iters, tolerance=0.0,
+                                    backend="banded-direct")
+        t_b = _bench(lambda: run_b(batched), repeats=3)
+        run_1 = make_optimize_jit(g, num_iterations=iters, tolerance=0.0,
+                                  backend="banded-direct")
+
+        def seq():
+            outs = [run_1(gi) for gi in graphs]
+            return outs[-1]
+
+        t_seq = _bench(seq, repeats=2)
+    except Exception as exc:  # pragma: no cover - defensive
+        results.append({"metric": f"pgo_batch{batch}_{graph}",
+                        "error": str(exc)[:120]})
+        return
+    results.append({
+        "metric": f"pgo_batch{batch}_{graph}_graphs_per_sec",
+        "value": round(batch / t_b, 2), "unit": "graphs/s",
+        "batch": batch,
+        "speedup_vs_sequential": round(t_seq / t_b, 2),
+    })
+
+
 def bench_block_scaling(results, devices=(1, 2, 4, 8), base_poses=1024,
                         iters=6):
     """Weak + strong scaling of the map-block distributed GN iteration on

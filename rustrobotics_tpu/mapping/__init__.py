@@ -40,5 +40,7 @@ from rustrobotics_tpu.mapping.initialization import (  # noqa: F401
 from rustrobotics_tpu.mapping.pgo import (  # noqa: F401
     PoseGraph,
     global_error,
+    make_optimize_batch,
     optimize,
+    stack_graphs,
 )

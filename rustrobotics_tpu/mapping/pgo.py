@@ -428,6 +428,42 @@ def make_optimize_jit(
     return run
 
 
+def stack_graphs(graphs):
+    """Stack same-structure PoseGraphData pytrees along a new leading
+    batch axis (every graph must share the template's index arrays /
+    sparsity — the fleet-serving scenario: one map, many robots'
+    measurement sets or initializations)."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *graphs)
+
+
+def make_optimize_batch(
+    graph_template: PoseGraphData,
+    num_iterations: int = 50,
+    **kwargs,
+):
+    """Batched fleet optimizer: ``jax.vmap`` over ``make_optimize_jit``.
+
+    The capability the reference architecture cannot express: its
+    optimizer owns one mutable graph and one UMFPACK factorization at a
+    time (pose_graph_optimization.rs:215-303), so a fleet of B robots
+    costs B sequential solves. Here one compiled XLA program optimizes
+    B same-structure graphs simultaneously — every linearization,
+    scatter and banded factorization gains a batch axis that fills the
+    MXU (batched kb x kb matmuls) instead of adding wall-clock. Row i of
+    the batched result is BIT-IDENTICAL to running ``make_optimize_jit``
+    on graph i alone (pinned in tests/test_pgo_batch.py).
+
+    The while_loop termination vmaps to "run until every graph in the
+    batch converges"; converged rows keep taking (numerically inert)
+    GN steps, matching JAX's batched-while semantics.
+
+    Returns run(batched_graph) -> (graphs, errors (B, iters+1), iters).
+    Build the input with ``stack_graphs``.
+    """
+    run = make_optimize_jit(graph_template, num_iterations, **kwargs)
+    return jax.jit(jax.vmap(run))
+
+
 class PoseGraph:
     """User-facing wrapper (role of PoseGraph::new + optimize + plot,
     rs:214-303,375-431)."""
