@@ -468,6 +468,7 @@ def run_suite():
     bench_pf_scale(results)
     bench_fixed_lag(results)
     bench_graph_slam(results)
+    bench_pgo_batch(results)
     bench_block_scaling(results)
     bench_pf_sharded(results)
     for r in results:

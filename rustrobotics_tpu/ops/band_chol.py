@@ -341,6 +341,14 @@ def cr_factorize(r_blocks):
     Returns (levels, f_root): levels is a list of (F, A, B) batched
     (h, kb, kb) tensors per reduction level, f_root the (kb, kb)
     Cholesky factor of the fully reduced root block.
+
+    The chain is reduced at its NATIVE length — a level of m blocks
+    eliminates its floor(m/2) odd-indexed blocks and leaves the
+    ceil(m/2) even ones (shapes are static per level, which is all XLA
+    needs). An earlier variant padded to the next power of two with
+    identity blocks; that wasted 33-45% of the factorization FLOPs on
+    every bundled graph (intel nb=11 -> 16, dlr 18 -> 32, torus 40 ->
+    64 padded eliminations).
     """
     nb, kb = r_blocks.shape[0], r_blocks.shape[1]
     dtype = r_blocks.dtype
@@ -348,52 +356,61 @@ def cr_factorize(r_blocks):
     # later level's diagonal is a Schur complement and stays symmetric
     d = _bsym(r_blocks[:, :, kb:])
     lo = r_blocks[:, :, :kb]
-    # pad the chain to a power of two with identity diagonals and zero
-    # couplings: padded unknowns decouple and solve to zero harmlessly
-    m = 1 << max(0, (nb - 1).bit_length())
-    if m > nb:
-        d = jnp.concatenate(
-            [d, jnp.broadcast_to(jnp.eye(kb, dtype=dtype),
-                                 (m - nb, kb, kb))])
-        lo = jnp.concatenate([lo, jnp.zeros((m - nb, kb, kb), dtype)])
 
+    m = nb
     levels = []
+    zero1 = jnp.zeros((1, kb, kb), dtype)
     while m > 1:
-        h = m // 2
-        l_odd = lo[1::2]                       # L_{2t+1}
-        l_next = jnp.concatenate(              # L_{2t+2} (0 for t=h-1)
-            [lo[2::2], jnp.zeros((1, kb, kb), dtype)])
+        h = m // 2              # eliminated odd blocks 2t+1, t in [0, h)
+        he = m - h              # surviving even blocks 2s,  s in [0, he)
+        l_odd = lo[1::2]                       # L_{2t+1}  (h,)
+        # L_{2t+2}: exists for 2t+2 <= m-1; zero-pad the tail when m even
+        l_next = lo[2::2]
+        if l_next.shape[0] < h:
+            l_next = jnp.concatenate([l_next, zero1])
         f = jnp.linalg.cholesky(d[1::2])
         a = _btsolve(f, l_odd)
         b = _btsolve(f, jnp.swapaxes(l_next, -1, -2))
-        ata = jnp.einsum("tki,tkj->tij", a, a)
-        btb = jnp.einsum("tki,tkj->tij", b, b)
-        btb_prev = jnp.concatenate(
-            [jnp.zeros((1, kb, kb), dtype), btb[:-1]])
+        ata = jnp.einsum("tki,tkj->tij", a, a)      # hits even 2t
+        btb = jnp.einsum("tki,tkj->tij", b, b)      # hits even 2t+2
+        if h < he:  # m odd: last even has no odd above it
+            ata = jnp.concatenate([ata, zero1])
+        # even s takes btb from odd 2s-1 (t = s-1): shift down one
+        btb_prev = jnp.concatenate([zero1, btb[: he - 1]])
         d = d[0::2] - ata - btb_prev
-        c = jnp.einsum("tki,tkj->tij", b, a)   # B_t^T A_t
-        lo = jnp.concatenate([jnp.zeros((1, kb, kb), dtype), -c[:-1]])
+        c = jnp.einsum("tki,tkj->tij", b, a)        # B_t^T A_t
+        lo = jnp.concatenate([zero1, -c[: he - 1]])
         levels.append((f, a, b))
-        m = h
+        m = he
     f_root = jnp.linalg.cholesky(d[0])
     return levels, f_root
+
+
+def _cr_interleave(x_even, x_odd):
+    """Interleave (he, kb) evens with (h, kb) odds, he - h in {0, 1}."""
+    h = x_odd.shape[0]
+    kb = x_even.shape[1]
+    pairs = jnp.stack([x_even[:h], x_odd], axis=1).reshape(2 * h, kb)
+    return jnp.concatenate([pairs, x_even[h:]])
 
 
 def cr_substitute(levels, f_root, bp):
     """Solve through a cyclic-reduction factor: bp (nb, kb) -> x (nb, kb)."""
     nb, kb = bp.shape
     dtype = bp.dtype
-    m = 1 << max(0, (nb - 1).bit_length())
-    b = (jnp.concatenate([bp, jnp.zeros((m - nb, kb), dtype)])
-         if m > nb else bp)
+    b = bp
 
     us = []
     for f, a, bt in levels:
+        he = b.shape[0] - b[1::2].shape[0]
         u = _btsolve(f, b[1::2][..., None])[..., 0]          # (h, kb)
-        corr_a = jnp.einsum("tij,ti->tj", a, u)              # at even t
-        corr_b = jnp.einsum("tij,ti->tj", bt, u)             # at even t+1
+        corr_a = jnp.einsum("tij,ti->tj", a, u)              # at even 2t
+        if corr_a.shape[0] < he:                             # m odd
+            corr_a = jnp.concatenate(
+                [corr_a, jnp.zeros((1, kb), dtype)])
+        corr_b = jnp.einsum("tij,ti->tj", bt, u)             # at even 2t+2
         corr_b = jnp.concatenate(
-            [jnp.zeros((1, kb), dtype), corr_b[:-1]])
+            [jnp.zeros((1, kb), dtype), corr_b[: he - 1]])
         b = b[0::2] - corr_a - corr_b
         us.append(u)
 
@@ -401,13 +418,15 @@ def cr_substitute(levels, f_root, bp):
         f_root[None], b[0:1][..., None]))[..., 0]            # (1, kb)
 
     for (f, a, bt), u in zip(reversed(levels), reversed(us)):
+        x_even = x                                            # (he, kb)
         h = u.shape[0]
-        x_even = x                                            # (h, kb)
-        x_up = jnp.concatenate([x_even[1:], jnp.zeros((1, kb), dtype)])
-        rhs = (u - jnp.einsum("tij,tj->ti", a, x_even)
+        x_up = x_even[1: h + 1]
+        if x_up.shape[0] < h:                                 # m even
+            x_up = jnp.concatenate([x_up, jnp.zeros((1, kb), dtype)])
+        rhs = (u - jnp.einsum("tij,tj->ti", a, x_even[:h])
                - jnp.einsum("tij,tj->ti", bt, x_up))
         x_odd = _btsolve_t(f, rhs[..., None])[..., 0]
-        x = jnp.stack([x_even, x_odd], axis=1).reshape(2 * h, kb)
+        x = _cr_interleave(x_even, x_odd)
     return x[:nb]
 
 
@@ -436,17 +455,19 @@ def cr_substitute_inv(inv_levels, root_inv, bp):
     triangular solve becomes a batched (kb, kb) @ (kb,) einsum."""
     nb, kb = bp.shape
     dtype = bp.dtype
-    m = 1 << max(0, (nb - 1).bit_length())
-    b = (jnp.concatenate([bp, jnp.zeros((m - nb, kb), dtype)])
-         if m > nb else bp)
+    b = bp
 
     us = []
     for finv, a, bt in inv_levels:
+        he = b.shape[0] - b[1::2].shape[0]
         u = jnp.einsum("tij,tj->ti", finv, b[1::2])
         corr_a = jnp.einsum("tij,ti->tj", a, u)
+        if corr_a.shape[0] < he:                             # m odd
+            corr_a = jnp.concatenate(
+                [corr_a, jnp.zeros((1, kb), dtype)])
         corr_b = jnp.einsum("tij,ti->tj", bt, u)
         corr_b = jnp.concatenate(
-            [jnp.zeros((1, kb), dtype), corr_b[:-1]])
+            [jnp.zeros((1, kb), dtype), corr_b[: he - 1]])
         b = b[0::2] - corr_a - corr_b
         us.append(u)
 
@@ -454,13 +475,15 @@ def cr_substitute_inv(inv_levels, root_inv, bp):
     x = x[None]
 
     for (finv, a, bt), u in zip(reversed(inv_levels), reversed(us)):
-        h = u.shape[0]
         x_even = x
-        x_up = jnp.concatenate([x_even[1:], jnp.zeros((1, kb), dtype)])
-        rhs = (u - jnp.einsum("tij,tj->ti", a, x_even)
+        h = u.shape[0]
+        x_up = x_even[1: h + 1]
+        if x_up.shape[0] < h:                                 # m even
+            x_up = jnp.concatenate([x_up, jnp.zeros((1, kb), dtype)])
+        rhs = (u - jnp.einsum("tij,tj->ti", a, x_even[:h])
                - jnp.einsum("tij,tj->ti", bt, x_up))
         x_odd = jnp.einsum("tji,tj->ti", finv, rhs)
-        x = jnp.stack([x_even, x_odd], axis=1).reshape(2 * h, kb)
+        x = _cr_interleave(x_even, x_odd)
     return x[:nb]
 
 

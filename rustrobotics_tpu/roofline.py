@@ -30,16 +30,21 @@ def banded_solve_flops(n: int, kb: int, nb: int) -> float:
     return fact + subs
 
 
+def _cr_eliminated_blocks(nb: int) -> int:
+    """Total eliminated blocks over all native-length CR levels:
+    m -> ceil(m/2) per level eliminates floor(m/2); sums to nb - 1."""
+    return max(0, nb - 1)
+
+
 def banded_cr_flops(n: int, kb: int, nb: int) -> float:
     """Cyclic-reduction banded solve (ops/band_chol.cr_factorize +
     cr_substitute): per level with h odd blocks — batched chol h kb^3/3,
-    two batched trsm 2 h kb^3, three batched gemms 6 h kb^3; levels sum
-    to m = 2^ceil(log2 nb) blocks total. Substitution: ~10 kb^2 per
-    block per direction (lower order)."""
-    m = 1 << max(0, (nb - 1).bit_length())
-    # sum of batch sizes over levels: m/2 + m/4 + ... + 1 = m - 1
-    fact = (m - 1) * ((1.0 / 3.0 + 2.0 + 6.0) * kb**3)
-    subs = m * (10.0 * kb**2)
+    two batched trsm 2 h kb^3, three batched gemms 6 h kb^3; the
+    native-length levels eliminate nb - 1 blocks total (no
+    power-of-two padding). Substitution: ~10 kb^2 per block per
+    direction (lower order)."""
+    fact = _cr_eliminated_blocks(nb) * ((1.0 / 3.0 + 2.0 + 6.0) * kb**3)
+    subs = nb * (10.0 * kb**2)
     return fact + subs
 
 
@@ -66,9 +71,8 @@ def banded_mixed_flops(n: int, kb: int, nb: int,
     the default lp="high" factor (perturbation ~1e-5; the lp="bf16"
     variant measures 64-233 rounds and only wins on well-conditioned
     graphs). A conservative floor so reported MFU never overstates."""
-    m = 1 << max(0, int(nb - 1).bit_length())
-    fact = m * ((1.0 / 3.0 + 2.0 + 6.0) * kb**3)
-    per_round = nb * 6.0 * kb**2 + m * 10.0 * kb**2 + 10.0 * n
+    fact = _cr_eliminated_blocks(nb) * ((1.0 / 3.0 + 2.0 + 6.0) * kb**3)
+    per_round = nb * 6.0 * kb**2 + nb * 10.0 * kb**2 + 10.0 * n
     return fact + rounds * per_round
 
 

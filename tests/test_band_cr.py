@@ -72,3 +72,45 @@ def test_cr_backend_golden_chi2(dataset_dir):
                             tolerance=1e-4)
     out, errors, it = run(g)
     assert abs(float(global_error(out)) - 8269.0) <= 1.0
+
+
+@pytest.mark.parametrize("nb", [1, 2, 3, 4, 5, 6, 7, 9, 11, 13])
+def test_cr_every_chain_length(nb):
+    """Native-length CR (no power-of-two padding): exact solve for every
+    small block-chain length, odd and even, against numpy. Covers the
+    m -> ceil(m/2) level bookkeeping's edge cases directly."""
+    from rustrobotics_tpu.ops.band_chol import (
+        cr_factorize,
+        cr_invert,
+        cr_substitute,
+        cr_substitute_inv,
+    )
+
+    kb = 8
+    rng = np.random.default_rng(nb)
+    n = nb * kb
+    # SPD block-tridiagonal matrix
+    m = rng.standard_normal((n, n))
+    a = m @ m.T + n * np.eye(n)
+    for i in range(nb):
+        for j in range(nb):
+            if abs(i - j) > 1:
+                a[i * kb:(i + 1) * kb, j * kb:(j + 1) * kb] = 0.0
+    # pack block rows (kb, 2kb): [subdiagonal | diagonal(lower only)]
+    r = np.zeros((nb, kb, 2 * kb))
+    for j in range(nb):
+        if j > 0:
+            r[j, :, :kb] = a[j * kb:(j + 1) * kb, (j - 1) * kb:j * kb]
+        r[j, :, kb:] = np.tril(a[j * kb:(j + 1) * kb, j * kb:(j + 1) * kb])
+    b = rng.standard_normal(n)
+    x_ref = np.linalg.solve(a, b)
+
+    levels, f_root = cr_factorize(jnp.asarray(r))
+    x = np.asarray(cr_substitute(levels, f_root,
+                                 jnp.asarray(b.reshape(nb, kb)))).reshape(-1)
+    np.testing.assert_allclose(x, x_ref, rtol=1e-8, atol=1e-10)
+
+    inv_levels, root_inv = cr_invert(levels, f_root)
+    x2 = np.asarray(cr_substitute_inv(
+        inv_levels, root_inv, jnp.asarray(b.reshape(nb, kb)))).reshape(-1)
+    np.testing.assert_allclose(x2, x_ref, rtol=1e-8, atol=1e-10)

@@ -7,6 +7,9 @@
 # jax.devices() hangs in-process when the tunnel is dead -> always probe in a
 # fresh subprocess under timeout.
 LOG=/tmp/tpu_probe.log
+HARVESTS=0
+MAX_HARVESTS=2   # after that, probe-only: never contend with the
+                 # driver's own end-of-round bench on the single chip
 while true; do
   ts=$(date +%H:%M:%S)
   out=$(timeout 90 python - <<'EOF' 2>&1
@@ -21,6 +24,11 @@ EOF
   rc=$?
   if [ $rc -eq 0 ] && echo "$out" | grep -q "OK.*tpu"; then
     echo "$ts ALIVE $out" >> "$LOG"
+    if [ "$HARVESTS" -ge "$MAX_HARVESTS" ]; then
+      sleep 600
+      continue
+    fi
+    HARVESTS=$((HARVESTS + 1))
     stamp=$(date +%Y%m%d_%H%M%S)
     echo "$ts HARVEST starting bench -> /tmp/bench_tpu_live_$stamp.json" >> "$LOG"
     (cd /root/repo && timeout 1200 python tools/tpu_microbench.py intel dlr \
