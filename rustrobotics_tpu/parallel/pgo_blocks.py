@@ -968,7 +968,7 @@ def block_optimize_elastic(
             start = int(step or 0)
 
     while start < num_iterations:
-        out_state, errs_seg, it_seg = run(state, edges, maps)
+        out_state, errs_seg, it_seg, _ = run(state, edges, maps)
         state = out_state
         it_seg = int(it_seg)
         seg = [float(e) for e in np.asarray(errs_seg) if not np.isnan(e)]

@@ -228,8 +228,14 @@ def test_block_optimize_dlr_golden(dataset_dir, mesh8):
     stalls above the golden optimum (cap 600 -> 61638, cap 2000 ->
     56878) — the accuracy contract requires the full solves."""
     g = load_g2o(dataset_dir / "g2o" / "dlr.g2o")
+    # precond pinned to jacobi for the CPU proxy: the auto policy's
+    # Schwarz default is sized for real meshes (comm-free log-depth
+    # apply vs per-round collectives) but its per-round f64 CR
+    # substitutions serialize on this 1-core host (measured 255 s
+    # jacobi vs 1878 s schwarz for this test); Schwarz parity has its
+    # own test above
     _, errs, _ = block_optimize(mesh8, g, num_iterations=20,
-                                cg_tol=1e-10)
+                                cg_tol=1e-10, precond="jacobi")
     assert abs(errs[-1] - 56860.0) <= 1.0, errs[-1]
 
 
