@@ -44,7 +44,11 @@ from jax.sharding import PartitionSpec as P
 from rustrobotics_tpu.geometry import se2, se3
 from rustrobotics_tpu.mapping import linearize
 from rustrobotics_tpu.mapping.assemble import PRIOR_WEIGHT, _quad_blocks
-from rustrobotics_tpu.ops.band_chol import cr_factorize, cr_substitute
+from rustrobotics_tpu.ops.band_chol import (
+    cr_factorize,
+    cr_invert,
+    cr_substitute_inv,
+)
 from rustrobotics_tpu.parallel.block_layout import (
     BlockLayout,
     build_block_layout,
@@ -428,11 +432,14 @@ def _assemble(dm: _Dims, maps, edges, st, lam):
              dinv_ext[kb:].reshape(nbl, kb)], axis=1)
         r_blocks = r_blocks * row_scale[:, :, None] * col_scale[:, None, :]
         # cyclic-reduction local factorization: log-depth batched MXU
-        # stages instead of an nb_loc-long sequential chain, and the
-        # per-CG-application substitution is log-depth too
+        # stages instead of an nb_loc-long sequential chain. The factors
+        # are inverted ONCE here (cr_invert) so every per-CG-round
+        # application is pure batched GEMMs — no triangular solves on
+        # the round's critical path (preconditioner-grade rounding).
         with jax.default_matmul_precision("highest"):
             levels, f_root = cr_factorize(r_blocks)
-        pstate = (levels, f_root, dinv)
+            inv_levels, root_inv = cr_invert(levels, f_root)
+        pstate = (inv_levels, root_inv, dinv)
     return tbl, b, chi2, pstate, schur_state
 
 
@@ -448,7 +455,7 @@ def _make_precond(dm: _Dims, maps, pstate):
                             precision=jax.lax.Precision.HIGHEST)
             return yb[dof_block, dof_pos]
     else:
-        levels, f_root, dinv = pstate
+        inv_levels, root_inv, dinv = pstate
         kb, nbl = dm.kb_loc, dm.nb_loc
         npad_loc = nbl * kb
 
@@ -458,7 +465,7 @@ def _make_precond(dm: _Dims, maps, pstate):
                 [rp, jnp.zeros(npad_loc - dm.ndof, dm.dtype)]
             ).reshape(nbl, kb)
             with jax.default_matmul_precision("highest"):
-                xs = cr_substitute(levels, f_root, rp)
+                xs = cr_substitute_inv(inv_levels, root_inv, rp)
             return xs.reshape(-1)[:dm.ndof] * dinv
     return precond
 
