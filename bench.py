@@ -17,12 +17,13 @@ import os
 import sys
 import time
 
-def _tpu_alive_once(timeout_s=120):
+def _tpu_alive_probe(timeout_s=120):
     """Probe TPU/backend health in a SUBPROCESS: a dead axon tunnel makes
     jax.devices() hang forever in-process, which would hang the whole
     bench. The probe times out instead. The probe also executes a tiny
     matmul so a tunnel that lists devices but can't dispatch counts as
-    dead."""
+    dead. Returns "tpu" / "cpu" (deterministic: no TPU plugin) /
+    "dead" (timeout or crash — possibly transient)."""
     import subprocess
     import sys as _sys
 
@@ -38,9 +39,15 @@ def _tpu_alive_once(timeout_s=120):
             [_sys.executable, "-c", code],
             capture_output=True, timeout=timeout_s, text=True,
         )
-        return r.returncode == 0 and "cpu" not in r.stdout
     except Exception:
-        return False
+        return "dead"
+    if r.returncode != 0:
+        return "dead"
+    return "cpu" if "cpu" in r.stdout else "tpu"
+
+
+def _tpu_alive_once(timeout_s=120):
+    return _tpu_alive_probe(timeout_s) == "tpu"
 
 
 def _tpu_alive(attempts=4, backoffs=(30, 60, 120)):
@@ -50,8 +57,14 @@ def _tpu_alive(attempts=4, backoffs=(30, 60, 120)):
     if os.environ.get("RUSTROBOTICS_BENCH_SINGLE_PROBE"):
         return _tpu_alive_once()
     for k in range(attempts):
-        if _tpu_alive_once():
+        probe = _tpu_alive_probe()
+        if probe == "tpu":
             return True
+        if probe == "cpu":
+            # deterministic answer: jax is up with no TPU plugin at all —
+            # retrying cannot change that (retries are for dead-tunnel
+            # timeouts)
+            return False
         if k < len(backoffs):
             print(f"[bench] tpu probe attempt {k + 1}/{attempts} failed; "
                   f"retrying in {backoffs[k]}s", file=sys.stderr)
@@ -137,8 +150,17 @@ def _time_device_path(graph, iters=10, repeats=5):
     finals = {}
     for k, (_, errs, _) in outs.items():
         e = np.asarray(errs)
-        e = e[e > 0] if (e > 0).any() else e
-        finals[k] = float(e[-1]) if np.all(np.isfinite(e)) else float("inf")
+        # tolerance=0.0 runs every iteration, so the trace has no benign
+        # NaN padding: ANY non-finite entry is divergence. Check the raw
+        # trace BEFORE selecting the last positive entry (filtering
+        # first would hide a mid-run NaN).
+        if not np.all(np.isfinite(e)):
+            finals[k] = float("inf")
+            continue
+        ep = e[e > 0] if (e > 0).any() else e
+        finals[k] = float(ep[-1])
+    if not timed:  # every backend failed compile/warmup: no headline
+        raise RuntimeError("all solver backends failed to run")
     best_final = min(finals.values())
     valid = {
         k: v for k, v in timed.items()
@@ -218,20 +240,25 @@ def _suite_extra(on_tpu):
 
     rows = []
     out = {}
-    try:
-        # on the CPU fallback keep only one backend per graph so a
-        # degraded run still finishes inside the driver budget; the
-        # chain factorization wins on CPU (CR trades ~2.5x FLOPs for
-        # log-depth, a TPU-only bargain)
-        backends = ("banded-cr", "banded-direct", "banded-pallas",
-                    "banded-mixed") if on_tpu else ("banded-direct",)
-        bench_graph_slam(rows, backends=backends)
-        bench_pgo_batch(rows)
-        bench_filter_updates(rows)
-        bench_pf_scale(rows)
-        bench_fixed_lag(rows)
-    except Exception as exc:  # pragma: no cover - defensive
-        out["suite_error"] = str(exc)[:160]
+    # on the CPU fallback keep only one backend per graph so a
+    # degraded run still finishes inside the driver budget; the
+    # chain factorization wins on CPU (CR trades ~2.5x FLOPs for
+    # log-depth, a TPU-only bargain)
+    backends = ("banded-cr", "banded-direct", "banded-pallas",
+                "banded-mixed") if on_tpu else ("banded-direct",)
+    # one try per family: a failure loses that family's rows, never the
+    # rest of the suite
+    for label, call in [
+        ("graph_slam", lambda: bench_graph_slam(rows, backends=backends)),
+        ("pgo_batch", lambda: bench_pgo_batch(rows)),
+        ("filters", lambda: bench_filter_updates(rows)),
+        ("pf_scale", lambda: bench_pf_scale(rows)),
+        ("fixed_lag", lambda: bench_fixed_lag(rows)),
+    ]:
+        try:
+            call()
+        except Exception as exc:  # pragma: no cover - defensive
+            out[f"suite_error_{label}"] = str(exc)[:160]
     out["suite"] = [
         {k: v for k, v in r.items() if k != "device"} for r in rows
     ]
@@ -244,9 +271,12 @@ def _revived_tpu_rerun():
     after backend init) and forward its JSON line."""
     import subprocess
 
+    if os.environ.get("RUSTROBOTICS_BENCH_NO_RERUN"):
+        return None  # we ARE the re-exec: never nest under a flapping tunnel
     if not _tpu_alive_once():
         return None
-    env = dict(os.environ, RUSTROBOTICS_BENCH_SINGLE_PROBE="1")
+    env = dict(os.environ, RUSTROBOTICS_BENCH_SINGLE_PROBE="1",
+               RUSTROBOTICS_BENCH_NO_RERUN="1")
     try:
         r = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],

@@ -349,7 +349,7 @@ def system_values(graph: PoseGraphData, lam, prior_weight=PRIOR_WEIGHT,
         # the default robust_edges="closures"
         w = rw(c2)
         if robust and robust_edges == "closures":
-            w = jnp.where(to == fr + 1, jnp.ones_like(w), w)
+            w = jnp.where(jnp.abs(to - fr) == 1, jnp.ones_like(w), w)
         return w
 
     def flat(hxx):

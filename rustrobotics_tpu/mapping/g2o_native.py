@@ -47,7 +47,10 @@ def _load():
     _tried = True
     if os.environ.get("RUSTROBOTICS_NO_NATIVE"):
         return None
-    if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
+    # a pre-built lib with no source alongside (artifact-only deploy) is
+    # used as-is; staleness can only be judged when the source exists
+    if not _LIB.exists() or (_SRC.exists()
+                             and _LIB.stat().st_mtime < _SRC.stat().st_mtime):
         if not _SRC.exists() or not _build():
             return None
     try:

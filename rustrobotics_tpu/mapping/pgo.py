@@ -108,7 +108,7 @@ def robust_global_cost(graph: PoseGraphData, robust, delta, alpha=-2.0,
             continue
         rho = robust_rho(robust, c, delta, alpha=alpha, mu=mu)
         if robust and robust_edges == "closures" and fr is not None:
-            rho = jnp.where(to == fr + 1, c, rho)
+            rho = jnp.where(jnp.abs(to - fr) == 1, c, rho)
         total = total + jnp.sum(rho)
     return total
 
@@ -196,6 +196,11 @@ def optimize(
         )
         print(f"initial error :{last_error:.5f}")
 
+    if robust is not None:
+        cost_jit = jax.jit(lambda g, mu_: robust_global_cost(
+            g, robust, robust_delta, alpha=robust_alpha, mu=mu_))
+    cur_cost = None  # carried robust cost (valid while mu is constant)
+
     it = 0
     for it in range(1, num_iterations + 1):
         vals, b, _ = values_fn(graph, jnp.asarray(lam if lm else 0.0, dtype),
@@ -209,15 +214,18 @@ def optimize(
             if robust is None:
                 accept = error <= last_error
             else:
-                # accept on the robust surrogate at the current mu
+                # accept on the robust surrogate at the current mu. For
+                # fixed kernels mu never changes, so the previous
+                # iteration's cost is reusable; GNC re-evaluates (mu
+                # moved between iterations).
                 mu_j = jnp.asarray(mu, dtype)
-                trial = float(robust_global_cost(
-                    graph, robust, robust_delta, alpha=robust_alpha,
-                    mu=mu_j))
-                cur = float(robust_global_cost(
-                    prev_graph, robust, robust_delta, alpha=robust_alpha,
-                    mu=mu_j))
+                trial = float(cost_jit(graph, mu_j))
+                if gnc or cur_cost is None:
+                    cur = float(cost_jit(prev_graph, mu_j))
+                else:
+                    cur = cur_cost
                 accept = trial <= cur
+                cur_cost = trial if trial <= cur else cur
             if not accept:  # NaN-safe reject
                 graph = prev_graph  # rollback (role of rs:277's -dx update)
                 lam *= 2.0

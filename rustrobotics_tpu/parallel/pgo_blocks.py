@@ -65,27 +65,7 @@ def _halo_exchange(x, axis, D, ndof, h):
     big meshes). Devices at the ring ends receive zeros — those ext slots
     correspond to dofs outside [0, n_pad) and are never referenced.
     """
-    x_ext = jnp.zeros(ndof + 2 * h, x.dtype).at[h:h + ndof].set(x)
-    if h == 0 or D == 1:
-        return x_ext
-    k_hops = -(-h // ndof)
-    for k in range(1, k_hops + 1):
-        lo = max(0, k * ndof - h)
-        ln = ndof - lo
-        if ln > 0:  # left halo, from device d-k
-            recv = jax.lax.ppermute(
-                x[lo:lo + ln], axis, [(i, i + k) for i in range(D - k)]
-            )
-            dst = h - k * ndof + lo
-            x_ext = x_ext.at[dst:dst + ln].set(recv)
-        rn = min(ndof, h - (k - 1) * ndof)
-        if rn > 0:  # right halo, from device d+k
-            recv = jax.lax.ppermute(
-                x[:rn], axis, [(i + k, i) for i in range(D - k)]
-            )
-            dst = h + k * ndof
-            x_ext = x_ext.at[dst:dst + rn].set(recv)
-    return x_ext
+    return _halo_only(x, axis, D, ndof, h).at[h:h + ndof].set(x)
 
 
 def _halo_only(x, axis, D, ndof, h):

@@ -32,7 +32,8 @@ def _system(graph):
 
 @pytest.mark.parametrize(
     "num_poses",
-    [7, 64, pytest.param(523, marks=pytest.mark.slow)])
+    [pytest.param(7, marks=pytest.mark.slow), 64,
+     pytest.param(523, marks=pytest.mark.slow)])
 def test_cr_matches_sequential_banded(num_poses):
     """CR == scan-chain banded Cholesky on corridor graphs spanning
     1 block row (no levels) through many non-power-of-two block rows."""
@@ -74,7 +75,10 @@ def test_cr_backend_golden_chi2(dataset_dir):
     assert abs(float(global_error(out)) - 8269.0) <= 1.0
 
 
-@pytest.mark.parametrize("nb", [1, 2, 3, 4, 5, 6, 7, 9, 11, 13])
+@pytest.mark.parametrize(
+    "nb",
+    [1, 2, 3, 5] + [pytest.param(v, marks=pytest.mark.slow)
+                    for v in (4, 6, 7, 9, 11, 13)])
 def test_cr_every_chain_length(nb):
     """Native-length CR (no power-of-two padding): exact solve for every
     small block-chain length, odd and even, against numpy. Covers the

@@ -38,14 +38,14 @@ def test_replicated_smoke_matches_1d():
     layout = build_block_layout(g, 4)
     state, edges, maps = layout_device_arrays(layout, jnp.float64)
     mesh1 = make_mesh(4, axis="blocks")
-    run1 = make_block_optimize(mesh1, layout, num_iterations=2,
+    run1 = make_block_optimize(mesh1, layout, num_iterations=1,
                                tolerance=0.0, cg_tol=1e-10,
                                dtype=jnp.float64)
     _, errs1, _, _ = run1(state, edges, maps)
     mesh2 = make_mesh_2d(blocks=4, replicas=2)
     state_r = jax.tree.map(
         lambda a: jnp.broadcast_to(a, (2,) + a.shape), state)
-    run2 = make_block_optimize(mesh2, layout, num_iterations=2,
+    run2 = make_block_optimize(mesh2, layout, num_iterations=1,
                                tolerance=0.0, cg_tol=1e-10,
                                dtype=jnp.float64)
     _, errs2, _, _ = run2(state_r, edges, maps)

@@ -36,11 +36,11 @@ def _jitter(g, key, scale=0.05):
 def test_batch_rows_match_unbatched():
     g = synthetic_corridor_graph_2d(num_poses=64, closure_span=8,
                                     dtype=jnp.float32)
-    graphs = [g] + [_jitter(g, jax.random.key(i)) for i in range(1, 4)]
-    run_b = make_optimize_batch(g, num_iterations=8, tolerance=0.0,
+    graphs = [g, _jitter(g, jax.random.key(1))]
+    run_b = make_optimize_batch(g, num_iterations=6, tolerance=0.0,
                                 backend="banded-direct")
     out_b, errs_b, it_b = run_b(stack_graphs(graphs))
-    run_1 = make_optimize_jit(g, num_iterations=8, tolerance=0.0,
+    run_1 = make_optimize_jit(g, num_iterations=6, tolerance=0.0,
                               backend="banded-direct")
     for i, gi in enumerate(graphs):
         out_1, errs_1, _ = run_1(gi)
