@@ -306,9 +306,9 @@ def main(argv=None):
     sp.add_argument("--solver", choices=["gn", "lm"], default="gn")
     sp.add_argument(
         "--backend", default="host",
-        choices=["auto", "host", "native", "dense", "schur", "cg",
-                 "banded-direct", "banded-cr", "banded-pallas",
-                 "banded-mixed"],
+        choices=["auto", "auto-measure", "host", "native", "dense",
+                 "schur", "cg", "banded-direct", "banded-cr",
+                 "banded-pallas", "banded-mixed"],
     )
     sp.add_argument("--iterations", type=int, default=50)
     sp.add_argument("--init", choices=["none", "chordal"], default="none",

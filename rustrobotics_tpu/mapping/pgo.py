@@ -164,6 +164,8 @@ def optimize(
         mu = mu0
     if backend == "auto":
         backend = "banded-direct"
+    if backend == "auto-measure":
+        backend = _measure_backend(graph, layout)
     if backend in ("banded-direct", "banded-cr", "banded-pallas",
                    "banded-mixed"):
         make = {"banded-cr": solvers.make_banded_cr,
@@ -249,6 +251,47 @@ def optimize(
     return OptimizeResult(graph=graph, errors=errors, norms=norms, iterations=it)
 
 
+def _measure_backend(graph_template: PoseGraphData, layout):
+    """Pick the fastest banded backend for THIS platform by measuring one
+    jitted solve of the template's normal equations per candidate
+    (validity-gated: non-finite solves are disqualified). Falls back to
+    "dense" when the RCM bandwidth rules the banded path out."""
+    import time
+
+    dtype = (graph_template.poses2.dtype if graph_template.poses2.size
+             else graph_template.poses3.dtype)
+    vals, b, _ = system_values(graph_template, jnp.asarray(0.0, dtype))
+    candidates = {"banded-direct": solvers.make_banded_direct,
+                  "banded-cr": solvers.make_banded_cr,
+                  "banded-mixed": solvers.make_banded_mixed}
+    if jax.devices()[0].platform == "tpu":
+        # interpret-mode Pallas off-TPU takes minutes; only a real chip
+        # runs the fused kernel
+        candidates["banded-pallas"] = solvers.make_banded_pallas
+    timed = {}
+    for name, make in candidates.items():
+        try:
+            solve = make(layout)
+            if solve is None:
+                continue
+            run = jax.jit(solve)
+            x = run(vals, b)
+            jax.block_until_ready(x)
+            if not bool(jnp.all(jnp.isfinite(x))):
+                continue
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                jax.block_until_ready(run(vals, b))
+                best = min(best, time.perf_counter() - t0)
+            timed[name] = best
+        except Exception:  # a failing candidate must not sink the build
+            continue
+    if not timed:
+        return "dense"
+    return min(timed, key=timed.get)
+
+
 def make_optimize_jit(
     graph_template: PoseGraphData,
     num_iterations: int = 50,
@@ -278,6 +321,14 @@ def make_optimize_jit(
         # banded direct when the RCM bandwidth permits (every bundled
         # dataset), dense Cholesky otherwise
         backend = "banded-direct"
+    if backend == "auto-measure":
+        # self-tuning: build every banded candidate, time ONE jitted
+        # solve of the template system each, keep the winner. The
+        # chain/CR/Pallas/mixed backends bracket the latency/throughput/
+        # precision trade, and which wins is platform-dependent — the
+        # measurement costs a few solves at build time and is amortized
+        # over the optimization (and any batched fleet built from it).
+        backend = _measure_backend(graph_template, layout)
     if backend == "dense":
         def solve(vals, b):
             return solvers.solve_dense(layout, vals, b)

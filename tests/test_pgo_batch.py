@@ -59,3 +59,16 @@ def test_batch_golden_chi2_every_row(dataset_dir):
     for i in range(len(graphs)):
         gi = jax.tree.map(lambda a: a[i], out_b)
         assert abs(float(global_error(gi)) - 8269.0) <= 1.0
+
+
+@pytest.mark.slow  # compiles three solver candidates at build time
+def test_auto_measure_backend_golden(dataset_dir):
+    """backend="auto-measure" self-tunes (times each banded candidate
+    once at build time, validity-gated) and still reaches the golden
+    chi2 — the product API for the platform-dependent backend choice
+    bench.py makes for the headline."""
+    g = load_g2o(dataset_dir / "g2o" / "simulation-pose-pose.g2o")
+    run = make_optimize_jit(g, num_iterations=100, backend="auto-measure",
+                            tolerance=1e-4)
+    out, _, _ = run(g)
+    assert abs(float(global_error(out)) - 8269.0) <= 1.0
