@@ -98,3 +98,22 @@ def test_mixed_backend_golden_chi2(dataset_dir):
                             tolerance=1e-4)
     out, errors, it = run(g)
     assert abs(float(global_error(out)) - 8269.0) <= 1.0
+
+
+def test_mixed_tpu_lowering(dataset_dir):
+    """The full jitted GN program with backend="banded-mixed" (bf16
+    truncation, HIGH-precision batched CR, cr_invert GEMM substitution,
+    CG) must LOWER for TPU — jax.export exercises the XLA TPU pipeline
+    without a chip, so lowering regressions are caught before bench
+    time."""
+    import jax
+
+    from rustrobotics_tpu.mapping.pgo import make_optimize_jit
+
+    g = load_g2o(dataset_dir / "g2o" / "simulation-pose-pose.g2o")
+    g32 = g.astype(jnp.float32)
+    with jax.enable_x64(False):
+        for backend in ("banded-mixed", "banded-cr"):
+            run = make_optimize_jit(g32, num_iterations=3, backend=backend,
+                                    tolerance=0.0)
+            jax.export.export(run, platforms=["tpu"])(g32)
