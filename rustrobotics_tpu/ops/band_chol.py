@@ -38,6 +38,14 @@ import jax.numpy as jnp
 import numpy as np
 
 
+# Band-buffer scatter strategy, flippable after hardware measurement
+# (tools/tpu_microbench.py times both): "add" = one scatter-add of all
+# kept triplets; "sorted" = sorted segment_sum into unique destinations
+# + a unique/sorted scatter-set (no read-modify-write on the 2kb-wide
+# buffer — the variant XLA's TPU scatter emitter can vectorize).
+BAND_SCATTER_MODE = "add"
+
+
 @dataclasses.dataclass(frozen=True)
 class BandCholLayout:
     n: int          # original dof count
@@ -53,6 +61,11 @@ class BandCholLayout:
     diag_sel: np.ndarray   # triplet indices on the diagonal (original order)
     diag_rows: np.ndarray  # their (original) row ids
     pad_rows: np.ndarray   # padded row ids in [n, nb*kb)
+    # sorted-scatter plan: triplets ordered by destination, duplicate
+    # destinations segment-summed into the unique sorted target list
+    sel_sorted: np.ndarray   # sel reordered by flat_idx
+    seg_sorted: np.ndarray   # nondecreasing segment id per sorted triplet
+    uniq_idx: np.ndarray     # unique destinations (sorted)
 
 
 def build_band_chol(layout, max_bandwidth: int = 2048) -> BandCholLayout | None:
@@ -90,6 +103,10 @@ def build_band_chol(layout, max_bandwidth: int = 2048) -> BandCholLayout | None:
     diag_sel = np.where(rows == cols)[0]
     pad_rows = np.arange(n, nb * kb, dtype=np.int64)
 
+    order = np.argsort(flat_idx, kind="stable")
+    uniq_idx, inv_u = np.unique(flat_idx, return_inverse=True)
+    seg_sorted = inv_u[order].astype(np.int32)
+
     return BandCholLayout(
         n=n, kb=kb, nb=nb, q=q,
         perm=perm.astype(np.int32), inv_perm=inv.astype(np.int32),
@@ -99,6 +116,9 @@ def build_band_chol(layout, max_bandwidth: int = 2048) -> BandCholLayout | None:
         diag_sel=diag_sel.astype(np.int64),
         diag_rows=rows[diag_sel].astype(np.int64),
         pad_rows=pad_rows,
+        sel_sorted=sel[order].astype(np.int64),
+        seg_sorted=seg_sorted,
+        uniq_idx=uniq_idx.astype(np.int64),
     )
 
 
@@ -113,9 +133,18 @@ def _prepare_blocks(bl: BandCholLayout, vals):
     # scatter RAW kept values; scaling happens on the block-row buffer
     # (per-triplet dinv gathers cost ~2 ms/iteration on intel — the
     # broadcastable row/column scale below is 3 reads of a 23 MB buffer)
-    flat = jnp.zeros(npad * 2 * kb, dtype).at[jnp.asarray(bl.flat_idx)].add(
-        vals[jnp.asarray(bl.sel)]
-    )
+    if BAND_SCATTER_MODE == "sorted":
+        u = jax.ops.segment_sum(
+            vals[jnp.asarray(bl.sel_sorted)], jnp.asarray(bl.seg_sorted),
+            num_segments=len(bl.uniq_idx), indices_are_sorted=True,
+        )
+        flat = jnp.zeros(npad * 2 * kb, dtype).at[
+            jnp.asarray(bl.uniq_idx)
+        ].set(u, unique_indices=True, indices_are_sorted=True)
+    else:
+        flat = jnp.zeros(npad * 2 * kb, dtype).at[
+            jnp.asarray(bl.flat_idx)
+        ].add(vals[jnp.asarray(bl.sel)])
     r_blocks = flat.reshape(nb, kb, 2 * kb)
     # unit diagonal on padded rows so the last block stays SPD
     if len(bl.pad_rows):

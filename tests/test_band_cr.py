@@ -118,3 +118,23 @@ def test_cr_every_chain_length(nb):
     x2 = np.asarray(cr_substitute_inv(
         inv_levels, root_inv, jnp.asarray(b.reshape(nb, kb)))).reshape(-1)
     np.testing.assert_allclose(x2, x_ref, rtol=1e-8, atol=1e-10)
+
+
+def test_band_scatter_modes_identical():
+    """The sorted segment-sum + unique-set scatter plan must produce the
+    exact block-row buffer of the plain scatter-add (the flippable
+    BAND_SCATTER_MODE TPU optimization)."""
+    from rustrobotics_tpu.ops import band_chol as bc
+
+    g = synthetic_corridor_graph_2d(num_poses=96, closure_span=16,
+                                    dtype=jnp.float64)
+    _, bl, vals, b = _system(g)
+    r_add, d_add = bc._prepare_blocks(bl, vals)
+    old = bc.BAND_SCATTER_MODE
+    try:
+        bc.BAND_SCATTER_MODE = "sorted"
+        r_sorted, d_sorted = bc._prepare_blocks(bl, vals)
+    finally:
+        bc.BAND_SCATTER_MODE = old
+    np.testing.assert_array_equal(np.asarray(r_sorted), np.asarray(r_add))
+    np.testing.assert_array_equal(np.asarray(d_sorted), np.asarray(d_add))
