@@ -32,6 +32,8 @@ def _apply_precision(args):
     if getattr(args, "x64", False):
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_enable_x64", True)
+    elif getattr(args, "cpu", False):
+        jax.config.update("jax_platforms", "cpu")
 
 
 def cmd_localization(args):
@@ -279,6 +281,10 @@ def main(argv=None):
         sp.add_argument("--seed", type=int, default=0)
         sp.add_argument("--x64", action="store_true",
                         help="float64 on CPU (verification mode; TPUs have no f64)")
+        sp.add_argument("--cpu", action="store_true",
+                        help="force the CPU backend (f32) — use when the "
+                             "TPU tunnel is unreachable (device discovery "
+                             "would otherwise hang)")
 
     sp = sub.add_parser("localization", help="simulated unicycle EKF/UKF/PF")
     common(sp)
