@@ -35,6 +35,12 @@ EOF
         > "/tmp/microbench_tpu_$stamp.json" \
         2> "/tmp/microbench_tpu_$stamp.err")
     echo "$(date +%H:%M:%S) MICROBENCH done rc=$? ($stamp)" >> "$LOG"
+    for be in banded-direct banded-cr banded-mixed banded-pallas; do
+      (cd /root/repo && timeout 600 python tools/tpu_profile.py \
+          --backend "$be" intel \
+          > "/tmp/profile_tpu_${be}_$stamp.txt" 2>&1)
+    done
+    echo "$(date +%H:%M:%S) PROFILES done ($stamp)" >> "$LOG"
     (cd /root/repo && timeout 2400 python bench.py \
         > "/tmp/bench_tpu_live_$stamp.json" \
         2> "/tmp/bench_tpu_live_$stamp.err")
