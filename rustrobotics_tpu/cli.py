@@ -123,15 +123,36 @@ def cmd_pgo(args):
 
         from rustrobotics_tpu.parallel import block_optimize, make_mesh
 
-        n_dev = min(args.distributed, len(jax.devices()))
-        mesh = make_mesh(n_dev, axis="blocks")
-        print(f"map-block distributed optimize over {n_dev} "
-              f"{jax.devices()[0].platform} device(s)")
         # f32 (TPU) cannot reach 1e-10 residuals: an unreachable tol
         # makes every CG run to maxiter
         import jax.numpy as jnp
 
         f64 = graph.data.poses2.dtype == jnp.float64
+        replicas = getattr(args, "replicas", 1)
+        if replicas > 1:
+            from rustrobotics_tpu.parallel.mesh import make_mesh_2d
+            from rustrobotics_tpu.parallel.pgo_blocks import (
+                block_optimize_multistart,
+            )
+
+            n_dev = min(args.distributed,
+                        max(1, len(jax.devices()) // replicas))
+            mesh2 = make_mesh_2d(blocks=n_dev, replicas=replicas)
+            print(f"2-D mesh multi-start: {replicas} replicas x "
+                  f"{n_dev} blocks on {jax.devices()[0].platform}")
+            _, traces, best = block_optimize_multistart(
+                mesh2, graph.data, num_iterations=args.iterations,
+                jitter=args.jitter, cg_tol=1e-10 if f64 else 1e-6,
+            )
+            finals = [t[-1] for t in traces]
+            print(f"per-replica final chi2: "
+                  f"{[round(f, 3) for f in finals]}")
+            print(f"best replica {best}: chi2 {finals[best]:.5f}")
+            return
+        n_dev = min(args.distributed, len(jax.devices()))
+        mesh = make_mesh(n_dev, axis="blocks")
+        print(f"map-block distributed optimize over {n_dev} "
+              f"{jax.devices()[0].platform} device(s)")
         _, errors, it = block_optimize(
             mesh, graph.data, num_iterations=args.iterations,
             solver=solver, cg_tol=1e-10 if f64 else 1e-6,
@@ -336,6 +357,13 @@ def main(argv=None):
     sp.add_argument("--schur", action="store_true",
                     help="with --distributed: eliminate 2D landmark "
                          "blocks per-device before the halo-CG")
+    sp.add_argument("--replicas", type=int, default=1, metavar="R",
+                    help="with --distributed: 2-D (replicas x blocks) "
+                         "mesh multi-start — R jittered initializations "
+                         "optimized in data-parallel, best chi2 wins")
+    sp.add_argument("--jitter", type=float, default=0.05,
+                    help="with --replicas: pose-noise scale for the "
+                         "non-first replicas' initializations")
     sp.set_defaults(fn=cmd_pgo)
 
     sp = sub.add_parser("pendulum", help="LQR inverted pendulum")
