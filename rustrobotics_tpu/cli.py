@@ -280,6 +280,62 @@ def cmd_slam(args):
         print("saved", args.plot)
 
 
+def cmd_doctor(args):
+    """Device-environment diagnosis. Probes the accelerator in a
+    SUBPROCESS under a timeout — a dead TPU tunnel makes jax.devices()
+    hang forever in-process, which is exactly the failure mode this
+    command exists to report."""
+    import subprocess
+    import sys as _sys
+    import time
+
+    code = (
+        "import time, jax, jax.numpy as jnp\n"
+        "d = jax.devices()[0]\n"
+        "x = jnp.ones((512, 512))\n"
+        "f = jax.jit(lambda a: a @ a)\n"
+        "jax.block_until_ready(f(x))\n"
+        "t0 = time.perf_counter(); jax.block_until_ready(f(x))\n"
+        "dt = (time.perf_counter() - t0) * 1e3\n"
+        "print(f'{d.platform} {d.device_kind} sync_ms={dt:.1f} "
+        "n={len(jax.devices())}')\n"
+    )
+    t0 = time.time()
+    try:
+        r = subprocess.run([_sys.executable, "-c", code],
+                           capture_output=True, timeout=90, text=True)
+        out = r.stdout.strip()
+    except subprocess.TimeoutExpired:
+        out = ""
+    probe_s = time.time() - t0
+    if out and r.returncode == 0:
+        print(f"accelerator: {out} (probe {probe_s:.1f}s)")
+        if "sync_ms" in out:
+            sync = float(out.split("sync_ms=")[1].split()[0])
+            if "tpu" in out and sync > 60:
+                print("warning: dispatch+sync latency is high — the "
+                      "tunnel may be congested; amortize by putting "
+                      "whole optimizations in one jit (this framework "
+                      "already does) and re-measure before concluding")
+    else:
+        print(f"accelerator: UNREACHABLE (probe timed out after "
+              f"{probe_s:.0f}s — with an axon-tunneled TPU this means "
+              f"the tunnel is down; jax.devices() would hang forever "
+              f"in-process)")
+        print("workaround: every subcommand accepts --cpu (f32) or "
+              "--x64 (f64 verification mode) to run on the host")
+    from rustrobotics_tpu.ops.native_solver import native_available
+
+    from rustrobotics_tpu.mapping.g2o_native import (
+        native_available as g2o_native,
+    )
+
+    print(f"native C++ LDL solver: "
+          f"{'built' if native_available() else 'unavailable (scipy fallback)'}")
+    print(f"native C++ g2o parser: "
+          f"{'built' if g2o_native() else 'unavailable (python fallback)'}")
+
+
 def cmd_bench(args):
     if args.suite:
         from rustrobotics_tpu.benchmarks import run_suite
@@ -382,6 +438,9 @@ def main(argv=None):
                     help="online EKF-SLAM, batch graph SLAM, or FastSLAM")
     sp.add_argument("--plot", default=None, help="output PNG path")
     sp.set_defaults(fn=cmd_slam)
+
+    sp = sub.add_parser("doctor", help="diagnose the device environment")
+    sp.set_defaults(fn=cmd_doctor)
 
     sp = sub.add_parser("bench", help="run the headline benchmark")
     sp.add_argument("--suite", action="store_true",
