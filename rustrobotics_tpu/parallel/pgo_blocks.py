@@ -475,23 +475,27 @@ def _schur_backsub(dm: _Dims, sstate, l2_dof, dx, dx_ext):
 def _pcg(dm: _Dims, tbl, nbr, precond, b):
     """Distributed preconditioned CG: halo-exchange matvec + psum dots.
 
-    The matvec is OVERLAPPED: the full product runs on the owned values
+    When the halo is SMALL relative to the owned chunk (2h <= ndof/4)
+    the matvec is OVERLAPPED: the full product runs on the owned values
     (zeroed halos) while the halo ppermutes are in flight; only the
     2h boundary rows then receive halo corrections. The interior compute
     and the collectives have no data dependence, so XLA's scheduler can
     run them concurrently — on a real pod slice this hides most of the
-    per-round ICI latency."""
+    per-round ICI latency at a (2h/ndof) extra-work cost. When the halo
+    is wide (dlr at D=8: 2h ~ 0.9 ndof) the corrections would nearly
+    DOUBLE every CG round — measured 2.8x per-GN-iteration on the CPU
+    mesh — so the plain exchange-then-multiply matvec is used instead.
+    """
     ndof, h = dm.ndof, dm.h
+    overlap = dm.D > 1 and h > 0 and 8 * h <= ndof
 
     def matvec(x):
-        if h == 0 or dm.D == 1:
-            x_ext = jnp.zeros(ndof + 2 * h, x.dtype).at[h:h + ndof].set(x)
+        if not overlap:
+            x_ext = _halo_exchange(x, dm.axis, dm.D, ndof, h)
             return jnp.sum(tbl * x_ext[nbr], axis=1)
         x_own = jnp.zeros(ndof + 2 * h, x.dtype).at[h:h + ndof].set(x)
         x_halo = _halo_only(x, dm.axis, dm.D, ndof, h)   # in flight ...
         y = jnp.sum(tbl * x_own[nbr], axis=1)            # ... meanwhile
-        if 2 * h >= ndof:
-            return y + jnp.sum(tbl * x_halo[nbr], axis=1)
         corr_lo = jnp.sum(tbl[:h] * x_halo[nbr[:h]], axis=1)
         corr_hi = jnp.sum(tbl[ndof - h:] * x_halo[nbr[ndof - h:]], axis=1)
         return y.at[:h].add(corr_lo).at[ndof - h:].add(corr_hi)

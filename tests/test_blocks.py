@@ -231,7 +231,7 @@ def test_block_optimize_dlr_golden(dataset_dir, mesh8):
     # precond pinned to jacobi for the CPU proxy: the auto policy's
     # Schwarz default is sized for real meshes (comm-free log-depth
     # apply vs per-round collectives) but its per-round f64 CR
-    # substitutions serialize on this 1-core host (measured 255 s
+    # substitutions serialize on this 1-core host (measured ~300 s
     # jacobi vs 1878 s schwarz for this test); Schwarz parity has its
     # own test above
     _, errs, _ = block_optimize(mesh8, g, num_iterations=20,
@@ -257,3 +257,39 @@ def test_block_optimize_corridor_100k(mesh8):
                                   cg_maxiter=150)
     assert errs[-1] < errs[0] * 1e-3, (errs[0], errs[-1])
     assert np.isfinite(errs[-1])
+
+
+def test_overlapped_matvec_parity_small_halo():
+    """Shapes where the overlap policy ENGAGES (8h <= ndof: interior
+    product concurrent with the halo ppermutes, 2h-row corrections
+    after) must match the host direct solve exactly — and the wide-halo
+    corridor above exercises the plain exchange path, so both matvec
+    variants stay pinned."""
+    import numpy as np
+
+    from rustrobotics_tpu.mapping import solvers
+    from rustrobotics_tpu.mapping.assemble import build_layout, system_values
+    from rustrobotics_tpu.parallel.mesh import make_mesh
+    from rustrobotics_tpu.parallel.pgo_blocks import (
+        block_optimize,
+        build_block_layout,
+    )
+
+    g = synthetic_corridor_graph_2d(num_poses=1024, closure_span=8,
+                                    dtype=jnp.float64)
+    lay = build_block_layout(g, 4)
+    assert 8 * lay.h <= lay.ndof  # the overlap branch is actually on
+    mesh = make_mesh(4, axis="blocks")
+    _, errs, _ = block_optimize(mesh, g, num_iterations=3, tolerance=0.0,
+                                cg_tol=1e-12, precond="jacobi")
+    # single-device oracle trace
+    from rustrobotics_tpu.mapping.pgo import make_optimize_jit
+
+    run = make_optimize_jit(g, num_iterations=3, backend="banded-direct",
+                            tolerance=0.0)
+    _, errs1, _ = run(g)
+    # final entries sit at machine-zero chi2 where relative comparison
+    # is meaningless — pin the descent trace and require both to vanish
+    np.testing.assert_allclose(np.asarray(errs)[:3],
+                               np.asarray(errs1)[:3], rtol=1e-6)
+    assert np.asarray(errs)[3] < 1e-12 and np.asarray(errs1)[3] < 1e-12
