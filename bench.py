@@ -104,6 +104,55 @@ def _load_graph():
     return synthetic_pose_graph_2d(num_poses=1728, num_landmarks=0), "synthetic1728"
 
 
+_PALLAS_OK = None
+
+
+def _pallas_ok():
+    """Cached subprocess pre-flight of the fused Mosaic kernel: compile
+    + run ONE solve out-of-process. Returns False on crash/timeout/NaN
+    — a TPU-worker crash (round 2 lost a whole session to one) must
+    cost us the pallas variant, not the entire bench artifact."""
+    global _PALLAS_OK
+    if _PALLAS_OK is None:
+        _PALLAS_OK = _pallas_preflight_ok()
+        if not _PALLAS_OK:
+            print("[bench] banded-pallas pre-flight failed; skipping",
+                  file=sys.stderr)
+    return _PALLAS_OK
+
+
+def _pallas_preflight_ok(timeout_s=300):
+    import subprocess
+
+    code = (
+        "import jax, jax.numpy as jnp\n"
+        "from rustrobotics_tpu.mapping import load_g2o\n"
+        "from rustrobotics_tpu.mapping.assemble import build_layout,"
+        " system_values\n"
+        "from rustrobotics_tpu.mapping import solvers\n"
+        "import os\n"
+        "g = load_g2o(os.environ.get('RUSTROBOTICS_DATASET',"
+        " '/root/reference/dataset') + '/g2o/intel.g2o')"
+        ".astype(jnp.float32)\n"
+        "lay = build_layout(g)\n"
+        "vals, b, _ = system_values(g, jnp.float32(0.0))\n"
+        "solve = solvers.make_banded_pallas(lay)\n"
+        "assert solve is not None\n"
+        "x = jax.jit(solve)(vals, b)\n"
+        "assert bool(jnp.all(jnp.isfinite(x)))\n"
+        "print('ok')\n"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=timeout_s,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        return r.returncode == 0 and "ok" in r.stdout
+    except Exception:
+        return False
+
+
 def _time_device_path(graph, iters=10, repeats=5):
     """Measure the headline backend AND the cyclic-reduction variant,
     returning whichever is faster. The chain factorization is
@@ -119,7 +168,9 @@ def _time_device_path(graph, iters=10, repeats=5):
         # the fused Pallas chain only makes sense compiled (interpret
         # mode on the CPU fallback would take minutes); banded-mixed's
         # bf16 factor only pays off at MXU matmul rates
-        backends += ["banded-pallas", "banded-mixed"]
+        backends.append("banded-mixed")
+        if _pallas_ok():
+            backends.append("banded-pallas")
     timed = {}
     outs = {}
     for backend in backends:
@@ -260,8 +311,12 @@ def _suite_extra(on_tpu):
     # degraded run still finishes inside the driver budget; the
     # chain factorization wins on CPU (CR trades ~2.5x FLOPs for
     # log-depth, a TPU-only bargain)
-    backends = ("banded-cr", "banded-direct", "banded-pallas",
-                "banded-mixed") if on_tpu else ("banded-direct",)
+    if on_tpu:
+        backends = ("banded-cr", "banded-direct", "banded-mixed")
+        if _pallas_ok():
+            backends += ("banded-pallas",)
+    else:
+        backends = ("banded-direct",)
     # one try per family: a failure loses that family's rows, never the
     # rest of the suite
     for label, call in [
