@@ -107,3 +107,60 @@ def test_multistart_returns_best_replica():
     np.testing.assert_allclose(traces[0], errs1, rtol=1e-10)
     # all replicas converge to (numerically) the same optimum
     assert max(finals) - min(finals) < 1e-3 * max(1.0, min(finals))
+
+
+def test_replica_axis_carries_no_cg_traffic():
+    """SURVEY §5's comm contract, checked against the program itself:
+    on the 2-D (replica x blocks) mesh every DATA-moving collective
+    (ppermute halo exchange, psum reduction) names ONLY the blocks
+    axis — the replica axis (the would-be DCN axis across hosts) sees
+    no per-CG-round traffic, just the scalar pmax that keeps loop trip
+    counts replica-uniform."""
+    import collections
+
+    g = synthetic_corridor_graph_2d(num_poses=32, dtype=jnp.float64)
+    layout = build_block_layout(g, 4)
+    state, edges, maps = layout_device_arrays(layout, jnp.float64)
+    mesh2 = make_mesh_2d(blocks=4, replicas=2)
+    state_r = jax.tree.map(
+        lambda a: jnp.broadcast_to(a, (2,) + a.shape), state)
+    run = make_block_optimize(mesh2, layout, num_iterations=1,
+                              tolerance=0.0, cg_tol=1e-10,
+                              dtype=jnp.float64)
+    jaxpr = jax.make_jaxpr(run)(state_r, edges, maps)
+
+    counts = collections.Counter()
+
+    def subjaxprs(eqn):
+        for v in eqn.params.values():
+            for w in (v if isinstance(v, (list, tuple)) else (v,)):
+                if hasattr(w, "jaxpr"):
+                    yield w.jaxpr
+                elif hasattr(w, "eqns"):
+                    yield w
+
+    def walk(jx):
+        for eqn in jx.eqns:
+            name = eqn.primitive.name
+            if name in ("ppermute", "psum", "pmax", "pmin", "all_gather",
+                        "reduce_scatter", "all_to_all"):
+                axes = eqn.params.get(
+                    "axes", eqn.params.get("axis_name", ()))
+                if not isinstance(axes, (tuple, list)):
+                    axes = (axes,)
+                counts[(name, tuple(axes))] += 1
+            for sub in subjaxprs(eqn):
+                walk(sub)
+
+    walk(jaxpr.jaxpr)
+    assert counts, "no collectives found — inspection broke"
+    for (name, axes), n in counts.items():
+        if "replica" in axes:
+            # only the scalar loop-uniformity pmax may touch the
+            # replica axis
+            assert name == "pmax", (name, axes, n)
+        if name in ("ppermute", "psum", "all_gather", "reduce_scatter",
+                    "all_to_all"):
+            assert axes == ("blocks",), (name, axes, n)
+    assert sum(n for (nm, ax), n in counts.items()
+               if nm == "ppermute") > 0  # halo exchange present
