@@ -258,8 +258,38 @@ def make_banded_pallas(layout: SystemLayout):
     return lambda vals, b: solve_band_pallas(bl, vals, b)
 
 
+def _pcg_counted(matvec, precond, b, tol, maxiter):
+    """Preconditioned CG (jax.scipy.sparse.linalg.cg semantics: stop at
+    ||r|| <= tol ||b||) as an explicit while_loop that ALSO returns the
+    round count — the instrumentation the roofline/microbench need that
+    the library solver hides."""
+    z0 = precond(b)
+    bb = jnp.vdot(b, b)
+    atol2 = (tol * tol) * bb
+
+    def cond(s):
+        *_, rr, k = s
+        return jnp.logical_and(k < maxiter, rr > atol2)
+
+    def step(s):
+        x, r, z, p, rz, _, k = s
+        ap = matvec(p)
+        alpha = rz / jnp.vdot(p, ap)
+        x = x + alpha * p
+        r = r - alpha * ap
+        z = precond(r)
+        rz_new = jnp.vdot(r, z)
+        p = z + (rz_new / rz) * p
+        return (x, r, z, p, rz_new, jnp.vdot(r, r), k + 1)
+
+    s0 = (jnp.zeros_like(b), b, z0, z0, jnp.vdot(b, z0), bb,
+          jnp.asarray(0, jnp.int32))
+    x, *_, rounds = jax.lax.while_loop(cond, step, s0)
+    return x, rounds
+
+
 def make_banded_mixed(layout: SystemLayout, tol=None, maxiter=256,
-                      lp="high", lift=None):
+                      lp="high", lift=None, return_rounds=False):
     """Mixed-precision banded solve (HPL-AI / iterative-refinement style):
 
     factor the Jacobi-scaled band ONCE at LOW precision, then use that
@@ -270,8 +300,9 @@ def make_banded_mixed(layout: SystemLayout, tol=None, maxiter=256,
       under matmul precision HIGH (bf16_3x passes on TPU — half the
       MXU passes of the HIGHEST mode every exact backend needs for f32
       stability) with full f32 storage. Factor perturbation ~1e-6..1e-5
-      relative, so the preconditioned CG converges in a handful of
-      rounds; a +2^-14 diagonal lift guards SPD against accumulated
+      relative, so the preconditioned CG converges in ~10-30 counted
+      rounds (intel 9, dlr 27, torus3D 10 on CPU-f64 to 1e-10); a
+      +2^-16 diagonal lift guards SPD against accumulated
       Schur-complement rounding across the log2(nb) CR levels.
     - ``lp="bf16"``: values truncated to bfloat16 storage and factored
       at platform-default precision (1-pass bf16 MXU, ~6x the HIGHEST
@@ -316,8 +347,14 @@ def make_banded_mixed(layout: SystemLayout, tol=None, maxiter=256,
     perm = jnp.asarray(bl.perm)
     inv_perm = jnp.asarray(bl.inv_perm)
     hi = jax.lax.Precision.HIGHEST
+    # lift calibration (CPU-f64 counted rounds to 1e-10; the lift is the
+    # dominant perturbation whenever it exceeds the factor's matmul
+    # rounding, so these transfer to TPU up to the bf16_3x eps ~1e-6):
+    # intel 2^-14: 13, 2^-16: 9; dlr 2^-14: 44, 2^-16: 27. 2^-16 is
+    # ~1.6x fewer rounds while staying an order of magnitude above the
+    # TPU pass rounding it guards against.
     lift_v = lift if lift is not None else (
-        2.0 ** -8 if lp == "bf16" else 2.0 ** -14)
+        2.0 ** -8 if lp == "bf16" else 2.0 ** -16)
 
     def solve(vals, b):
         dtype = vals.dtype
@@ -355,12 +392,11 @@ def make_banded_mixed(layout: SystemLayout, tol=None, maxiter=256,
             return cr_substitute_inv(inv_levels, root_inv, r)
 
         bp = jnp.concatenate([b[perm], jnp.zeros(npad - n, dtype)]) * dinv_p
-        xs, _ = jax.scipy.sparse.linalg.cg(
-            matvec, bp.reshape(nb, kb), M=precond, tol=cg_tol,
-            maxiter=maxiter,
-        )
+        xs, rounds = _pcg_counted(matvec, precond, bp.reshape(nb, kb),
+                                  cg_tol, maxiter)
         y = xs.reshape(-1) * dinv_p
-        return y[inv_perm]
+        x = y[inv_perm]
+        return (x, rounds) if return_rounds else x
 
     return solve
 

@@ -61,16 +61,16 @@ def banded_pallas_flops(n: int, kb: int, nb: int) -> float:
 
 
 def banded_mixed_flops(n: int, kb: int, nb: int,
-                       rounds: int = 6) -> float:
+                       rounds: int = 10) -> float:
     """Mixed-precision banded solve (solvers.make_banded_mixed): one
     bf16 CR factorization (banded_cr_flops' factorization term) plus
     ``rounds`` CG iterations, each an exact block-tridiagonal matvec
     (3 batched kb x kb matmuls per block row = 6 nb kb^2), one
     CR-substitution preconditioner apply (~10 kb^2 per block), and ~10n
-    CG vector work. ``rounds`` defaults to 6 — the expected count for
-    the default lp="high" factor (perturbation ~1e-5; the lp="bf16"
-    variant measures 64-233 rounds and only wins on well-conditioned
-    graphs). A conservative floor so reported MFU never overstates."""
+    CG vector work. ``rounds`` defaults to 10 — the counted lp="high"
+    range (intel 9, dlr 27, torus3D 10 via make_banded_mixed's
+    return_rounds; the lp="bf16" variant measures 64-233 and only wins
+    on well-conditioned graphs)."""
     fact = _cr_eliminated_blocks(nb) * ((1.0 / 3.0 + 2.0 + 6.0) * kb**3)
     per_round = nb * 6.0 * kb**2 + nb * 10.0 * kb**2 + 10.0 * n
     return fact + rounds * per_round

@@ -227,6 +227,11 @@ def bench_graph(name, path):
             rec[f"solve_{backend}_ms"] = _t(sj, vals, b) * 1e3
             x = sj(vals, b)
             rec[f"solve_{backend}_nan"] = bool(jnp.isnan(x).any())
+            if backend.startswith("banded-mixed"):
+                lp = "bf16" if backend.endswith("bf16") else "high"
+                sr = jax.jit(solvers.make_banded_mixed(
+                    lay, lp=lp, return_rounds=True))
+                rec[f"solve_{backend}_cg_rounds"] = int(sr(vals, b)[1])
         except Exception as exc:
             rec[f"solve_{backend}_ms"] = f"fail: {exc}"[:120]
 
