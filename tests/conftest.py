@@ -18,6 +18,15 @@ import pytest
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Persistent XLA compilation cache: the suite's cost is dominated by
+# compiles of tiny-shape programs (distributed GN ~19 s each), which are
+# identical run-to-run. Keyed by HLO hash, so code changes invalidate
+# exactly the programs they touch. bench.py deliberately does NOT use
+# this — it reports compile_s as a metric.
+_CACHE_DIR = pathlib.Path(__file__).resolve().parent.parent / ".jax_test_cache"
+jax.config.update("jax_compilation_cache_dir", str(_CACHE_DIR))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 try:
     jax.config.update("jax_num_cpu_devices", 8)
 except AttributeError:  # older jax: fall back to XLA flag (no-op if late)

@@ -32,7 +32,8 @@ def _system(graph):
 
 @pytest.mark.parametrize(
     "num_poses",
-    [pytest.param(7, marks=pytest.mark.slow), 64,
+    [pytest.param(7, marks=pytest.mark.slow),
+     pytest.param(64, marks=pytest.mark.slow),
      pytest.param(523, marks=pytest.mark.slow)])
 def test_cr_matches_sequential_banded(num_poses):
     """CR == scan-chain banded Cholesky on corridor graphs spanning
@@ -120,6 +121,7 @@ def test_cr_every_chain_length(nb):
     np.testing.assert_allclose(x2, x_ref, rtol=1e-8, atol=1e-10)
 
 
+@pytest.mark.slow  # ~5 s: bitwise parity of the alternate scatter plan
 def test_band_scatter_modes_identical():
     """The sorted segment-sum + unique-set scatter plan must produce the
     exact block-row buffer of the plain scatter-add (the flippable

@@ -259,6 +259,7 @@ def test_block_optimize_corridor_100k(mesh8):
     assert np.isfinite(errs[-1])
 
 
+@pytest.mark.slow  # ~12 s: branch-pinning parity; fast CR/golden tests keep coverage
 def test_overlapped_matvec_parity_small_halo():
     """Shapes where the overlap policy ENGAGES (8h <= ndof: interior
     product concurrent with the halo ppermutes, 2h-row corrections

@@ -143,6 +143,7 @@ def test_pnp_ransac_with_outliers():
     assert inl.sum() >= 38 and not inl[bad].any()
 
 
+@pytest.mark.slow  # ~6 s: full radial refit; zhang linear + DLT tests stay fast
 def test_zhang_radial_distortion():
     """(k1, k2) recovered from synthetically distorted views."""
     from rustrobotics_tpu.vision import (
