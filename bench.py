@@ -72,7 +72,11 @@ def _tpu_alive(attempts=4, backoffs=(30, 60, 120)):
     return False
 
 
-_TPU_OK = _tpu_alive()
+# Probe (with retries) only when executed as the driver's bench entry;
+# importing bench as a module (tests, helper reuse of _scaling_extra /
+# _suite_extra) gets the CPU path immediately instead of paying up to
+# ~6 min of dead-tunnel probe retries at import time.
+_TPU_OK = _tpu_alive() if __name__ == "__main__" else False
 
 import jax
 
@@ -285,10 +289,13 @@ def _scaling_extra():
         return {"scaling_error": str(exc)[:120]}
     out = {"scaling": res}
     for r in res:
-        if r["metric"].endswith("_d8"):
+        if r["metric"].endswith("_d8") and "efficiency_pct" in r:
             kind = "weak" if "weak" in r["metric"] else "strong"
             out[f"{kind}_scaling_eff_pct_8dev_cpu_proxy"] = (
                 r["efficiency_pct"])
+        if r["metric"] == "block_pgo_cg_round_d8":
+            out["cg_round_overhead_us_8dev_cpu_proxy"] = r.get(
+                "collective_overhead_us_vs_d1")
     return out
 
 

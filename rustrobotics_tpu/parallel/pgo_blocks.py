@@ -13,15 +13,20 @@ collective moves only SEPARATOR-sized data:
   via ppermute and whose dot products psum scalars. The matvec is
   OVERLAPPED: the interior product runs on owned values while the halo
   ppermutes are in flight; only 2h boundary rows take corrections after
-  they land. Two preconditioners behind a D-aware ``auto`` default:
+  they land. Three preconditioners behind a D-aware ``auto`` default:
   ``jacobi`` (per-node 6x6 blocks, negligible setup — right on one
-  device where CG rounds are cheap) and ``schwarz`` (additive Schwarz:
+  device where CG rounds are cheap), ``schwarz`` (additive Schwarz:
   each device cyclic-reduction-factors its owned banded diagonal block
   once per GN iteration, ops/band_chol.cr_factorize, and applies it
-  comm-free in log depth). Schwarz cuts CG round counts roughly an
-  order of magnitude, which is what matters on a real pod slice where
-  each CG round costs two sequential ICI collectives — ``auto`` picks
-  it whenever D > 1;
+  comm-free in log depth), and ``schwarz2`` (two-level: Schwarz plus a
+  Galerkin coarse correction over per-block translation/rotation rigid
+  modes — one (D, nc) psum per round). Schwarz cuts CG round counts
+  roughly an order of magnitude, which is what matters on a real pod
+  slice where each CG round costs two sequential ICI collectives —
+  ``auto`` picks it whenever D > 1. The coarse level measured
+  round-NEUTRAL on the bundled graphs (their conditioning is interface
+  coupling, not global rigid modes), so ``auto`` does not pay its extra
+  psum; it stays available for weakly-coupled many-block partitions;
 - update: dx halo exchange (h values) + fully local manifold retraction
   of owned and halo node copies (identical arithmetic on both sides, so
   replicas never drift).
@@ -320,6 +325,7 @@ class _Dims:
     band_pad: object  # (nb_loc, kb_loc, 2kb_loc) np identity pad rows
     schur: bool = False
     rep: str | None = None  # replica axis name on a 2-D mesh
+    nc: int = 3  # coarse-space columns per block (schwarz2): max node dof
 
 
 def _dims_from(layout, precond, prior_weight, cg_tol, cg_maxiter, dtype,
@@ -329,7 +335,19 @@ def _dims_from(layout, precond, prior_weight, cg_tol, cg_maxiter, dtype,
         # sequential collectives, and the local banded factor cuts round
         # counts ~10x (docs/PERFORMANCE.md). Jacobi on one device, where
         # rounds are cheap and the factorization isn't amortized.
+        # NOT schwarz2: the rigid-mode coarse correction measured
+        # round-neutral on the bundled graphs (intel D=8: 534 -> 531
+        # rounds/GN) — their bottleneck is interface coupling, not
+        # global modes — so the extra psum/round isn't paid by default.
         precond = "schwarz" if layout.num_devices > 1 else "jacobi"
+    if precond == "schwarz2" and (layout.h > layout.ndof
+                                  or layout.num_devices == 1):
+        # the Galerkin coarse build splits each block's halo coupling
+        # into exactly one left + one right neighbor; a halo wider than
+        # the owned chunk (k_hops > 1) reaches d±2 blocks and would
+        # scatter couplings into the wrong A_c entries. Tiny/narrow
+        # partitions don't need a coarse space — drop to plain Schwarz.
+        precond = "schwarz"
     # on a 2-D (replica x blocks) mesh every collective stays on the
     # LAST (blocks) axis; the replica axis never sees per-CG traffic
     return _Dims(
@@ -341,6 +359,7 @@ def _dims_from(layout, precond, prior_weight, cg_tol, cg_maxiter, dtype,
                  else 2 * layout.n_pad),
         dtype=dtype, band_pad=layout.band_pad, schur=layout.schur,
         rep=(mesh.axis_names[0] if len(mesh.axis_names) == 2 else None),
+        nc=(int(layout.dof_pos.max()) + 1 if layout.dof_pos.size else 3),
     )
 
 
@@ -420,7 +439,110 @@ def _assemble(dm: _Dims, maps, edges, st, lam):
             levels, f_root = cr_factorize(r_blocks)
             inv_levels, root_inv = cr_invert(levels, f_root)
         pstate = (inv_levels, root_inv, dinv)
+        if dm.precond == "schwarz2":
+            pstate = pstate + _coarse_state(dm, maps, tbl, st, edges)
     return tbl, b, chi2, pstate, schur_state
+
+
+def _coarse_basis(dm: _Dims, maps, st, edges):
+    """Per-device coarse basis R (ndof, nc [+1]): column c is the
+    indicator of component c (dof_pos) on this block's REAL dofs —
+    the per-block translation / per-component constant modes — plus,
+    on SE2 graphs, the block's RIGID-ROTATION mode about its centroid
+    evaluated at the current linearization point (x-dof: -(py - cy),
+    y-dof: px - cx, th-dof: 1; same for landmarks without th). Rotations
+    are the dominant slow modes of SLAM graphs; block-local solves
+    cannot damp either family. Padded dofs and (in Schur mode)
+    eliminated landmark rows are masked out so the correction never
+    writes rows CG holds at zero. Columns are locally normalized for
+    A_c conditioning (span unchanged)."""
+    pad_diag, dof_pos, lm_ind = maps[5], maps[8], maps[16]
+    real = 1.0 - pad_diag
+    if dm.schur:
+        real = real * (1.0 - lm_ind)
+    real = real.astype(dm.dtype)
+    comp = (jnp.arange(dm.nc, dtype=jnp.int32)[None, :]
+            == dof_pos[:, None])
+    r = comp.astype(dm.dtype) * real[:, None]
+    if dm.nc == 3:  # SE2-only graph: append the rigid-rotation column
+        p2, l2, _ = st
+        p2_dof, l2_dof = edges[0], edges[1]
+        ndof, h = dm.ndof, dm.h
+        col = jnp.zeros(ndof + 1, dm.dtype)   # extra slot: halo dump
+        nodes = jnp.zeros(ndof + 1, dm.dtype)
+
+        def scat(col, nodes, dof_ext, xy, nd):
+            off = dof_ext - h                  # ext -> owned indexing
+            ok = (off >= 0) & (off < ndof)     # nodes live wholly in/out
+            base = jnp.where(ok, off, ndof)    # halo nodes -> dump slot
+            val = jnp.where(ok, 1.0, 0.0).astype(dm.dtype)
+            nodes = nodes.at[base].add(val)
+            col = col.at[base].add(jnp.where(ok, -xy[:, 1], 0.0))
+            col = col.at[jnp.minimum(base + 1, ndof)].add(
+                jnp.where(ok, xy[:, 0], 0.0))
+            if nd == 3:
+                col = col.at[jnp.minimum(base + 2, ndof)].add(val)
+            return col, nodes
+
+        if p2.shape[0]:
+            col, nodes = scat(col, nodes, p2_dof, p2[:, :2], 3)
+        if l2.shape[0]:
+            col, nodes = scat(col, nodes, l2_dof, l2[:, :2], 2)
+        col, cnt = col[:ndof], jnp.maximum(nodes[:ndof].sum(), 1.0)
+        # subtract the block centroid: rot col = (-(py-cy), px-cx, 1);
+        # x rows of col hold -py and y rows hold px, so the centroid is
+        # recoverable from the masked constant columns already in r
+        cy = -jnp.sum(col * r[:, 0]) / cnt
+        cx = jnp.sum(col * r[:, 1]) / cnt
+        col = (col + cy * r[:, 0] - cx * r[:, 1]) * real
+        norm = jnp.maximum(jnp.linalg.norm(col), 1.0)
+        r = jnp.concatenate([r, (col / norm)[:, None]], axis=1)
+    return r
+
+
+def _coarse_state(dm: _Dims, maps, tbl, st, edges):
+    """Galerkin coarse operator A_c = Rᵀ A R over the (D, nc) block-
+    diagonal basis, built from the assembled band table: for each basis
+    column, one halo exchange + three masked band matvecs split the
+    row's contribution by source block (own / left / right neighbor), so
+    the (D·nc)² matrix keeps its block-tridiagonal structure exactly.
+    psum'd to every device and inverted once per GN iteration (≤ 48²
+    at D=8) — per CG round the correction costs one (D, nc)-float psum
+    and two small GEMVs."""
+    nbr = maps[3]
+    ndof, h, dtype = dm.ndof, dm.h, dm.dtype
+    R = _coarse_basis(dm, maps, st, edges)
+    nc = R.shape[1]
+    d = jax.lax.axis_index(dm.axis)
+
+    def mv(x_ext):
+        return jnp.sum(tbl * x_ext[nbr], axis=1)
+
+    ent = []  # nc' columns x (left, own, right) x (nc,) row dots
+    with jax.default_matmul_precision("highest"):
+        for c in range(nc):
+            halo = _halo_only(R[:, c], dm.axis, dm.D, ndof, h)
+            own_ext = jnp.zeros(ndof + 2 * h, dtype).at[
+                h:h + ndof].set(R[:, c])
+            left_ext = halo.at[h:].set(0.0)
+            right_ext = halo.at[:h + ndof].set(0.0)
+            ent.append(jnp.stack(
+                [R.T @ mv(left_ext), R.T @ mv(own_ext),
+                 R.T @ mv(right_ext)], axis=0))  # (3, nc rows)
+    # ent[c'][which, c] -> A_c[(d, c), (d + which - 1, c')]
+    blocks = jnp.stack(ent, axis=-1)  # (3, nc rows c, nc cols c')
+    rows = d * nc + jnp.arange(nc)
+    ac = jnp.zeros((dm.D * nc, dm.D * nc), dtype)
+    for which in range(3):
+        cols = ((d + which - 1) % dm.D) * nc + jnp.arange(nc)
+        ac = ac.at[rows[:, None], cols[None, :]].add(blocks[which])
+    ac = jax.lax.psum(ac, dm.axis)
+    # ridge keeps absent components (zero columns) harmlessly invertible
+    eye = jnp.eye(dm.D * nc, dtype=dtype)
+    ridge = 1e-8 * jnp.trace(ac) / (dm.D * nc) + 1e-30
+    with jax.default_matmul_precision("highest"):
+        ac_inv = jnp.linalg.inv(ac + ridge * eye)
+    return (R, ac_inv)
 
 
 def _make_precond(dm: _Dims, maps, pstate):
@@ -435,11 +557,12 @@ def _make_precond(dm: _Dims, maps, pstate):
                             precision=jax.lax.Precision.HIGHEST)
             return yb[dof_block, dof_pos]
     else:
-        inv_levels, root_inv, dinv = pstate
+        inv_levels, root_inv, dinv = pstate[:3]
+        coarse = pstate[3:] if dm.precond == "schwarz2" else None
         kb, nbl = dm.kb_loc, dm.nb_loc
         npad_loc = nbl * kb
 
-        def precond(r):
+        def local_solve(r):
             rp = (r * dinv)
             rp = jnp.concatenate(
                 [rp, jnp.zeros(npad_loc - dm.ndof, dm.dtype)]
@@ -447,6 +570,26 @@ def _make_precond(dm: _Dims, maps, pstate):
             with jax.default_matmul_precision("highest"):
                 xs = cr_substitute_inv(inv_levels, root_inv, rp)
             return xs.reshape(-1)[:dm.ndof] * dinv
+
+        if coarse is None:
+            precond = local_solve
+        else:
+            R, ac_inv = coarse
+            nc = R.shape[1]
+
+            def precond(r):
+                # additive two-level: local subdomain solve + Galerkin
+                # coarse correction (one (D, nc) psum + two small GEMVs)
+                z = local_solve(r)
+                d = jax.lax.axis_index(dm.axis)
+                with jax.default_matmul_precision("highest"):
+                    rc = R.T @ r
+                    rc_all = jax.lax.psum(
+                        jnp.zeros((dm.D, nc), dm.dtype).at[d].set(rc),
+                        dm.axis).reshape(-1)
+                    y = ac_inv @ rc_all
+                    yd = jax.lax.dynamic_slice(y, (d * nc,), (nc,))
+                    return z + R @ yd
     return precond
 
 

@@ -294,3 +294,27 @@ def test_overlapped_matvec_parity_small_halo():
     np.testing.assert_allclose(np.asarray(errs)[:3],
                                np.asarray(errs1)[:3], rtol=1e-6)
     assert np.asarray(errs)[3] < 1e-12 and np.asarray(errs1)[3] < 1e-12
+
+
+@pytest.mark.slow
+def test_block_schwarz2_precond_matches_host():
+    """Two-level Schwarz (local banded solve + rigid-mode Galerkin
+    coarse correction, precond="schwarz2") is still an exact CG solve:
+    same dx as the host direct solve. Landmarks exercise the basis
+    masking (landmark dofs share the translation columns and have no
+    theta row)."""
+    g = synthetic_corridor_graph_2d(num_poses=192, num_landmarks=24,
+                                    closure_span=8, dtype=jnp.float64)
+    dx_host = np.asarray(linearize_and_solve(g, backend="host"))
+    for d in (2, 8):
+        if len(jax.devices()) < d:
+            continue
+        mesh = make_mesh(d, axis="blocks")
+        layout = build_block_layout(g, d)
+        assert layout.h <= layout.ndof  # the coarse space is engaged
+        state, edges, maps = layout_device_arrays(layout, jnp.float64)
+        solve = make_block_step(mesh, layout, cg_tol=1e-13,
+                                precond="schwarz2")
+        dx, _ = solve(state, edges, maps, jnp.asarray(0.0))
+        np.testing.assert_allclose(dx_to_reference(layout, dx), dx_host,
+                                   atol=1e-7, err_msg=f"D={d}")
