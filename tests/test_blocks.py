@@ -318,3 +318,30 @@ def test_block_schwarz2_precond_matches_host():
         dx, _ = solve(state, edges, maps, jnp.asarray(0.0))
         np.testing.assert_allclose(dx_to_reference(layout, dx), dx_host,
                                    atol=1e-7, err_msg=f"D={d}")
+
+
+@pytest.mark.slow
+def test_block_ew_forcing_matches_fixed(dataset_dir, mesh8):
+    """Eisenstat-Walker adaptive CG forcing on the odometry-initialized
+    intel graph (the forcing's regime — a trustworthy linearization):
+    "ew" reaches the SAME optimum as the fixed-tolerance solve with
+    strictly fewer CG rounds; "ew-fast" lands inside the reference's
+    ±1 golden band with far fewer. Round counts are deterministic on
+    the f64 CPU mesh."""
+    g = load_g2o(dataset_dir / "g2o" / "intel.g2o")
+    runs = {}
+    for forcing in ("fixed", "ew", "ew-fast"):
+        _, errs, _, stats = block_optimize(
+            mesh8, g, num_iterations=12, tolerance=0.0, cg_tol=1e-10,
+            precond="schwarz", cg_forcing=forcing, return_stats=True)
+        runs[forcing] = (errs[-1], stats["cg_rounds_total"])
+    chi2_fixed, rounds_fixed = runs["fixed"]
+    chi2_ew, rounds_ew = runs["ew"]
+    chi2_fast, rounds_fast = runs["ew-fast"]
+    assert abs(chi2_fixed - 360.0) <= 1.0, chi2_fixed
+    # exact mode: same optimum, fewer rounds (measured 2545 vs 6408)
+    np.testing.assert_allclose(chi2_ew, chi2_fixed, rtol=1e-6)
+    assert rounds_ew < 0.6 * rounds_fixed, (rounds_ew, rounds_fixed)
+    # fast mode: golden-band optimum, much fewer rounds (measured 475)
+    assert abs(chi2_fast - 360.0) <= 1.0, chi2_fast
+    assert rounds_fast < 0.5 * rounds_ew, (rounds_fast, rounds_ew)
