@@ -507,6 +507,44 @@ def bench_block_scaling(results, devices=(1, 2, 4, 8), base_poses=1024,
             "note": "fixed-round jacobi comm stress; " + note,
         })
 
+    # --- inexact-Newton forcing economics on a real graph: total CG
+    # rounds (= sequential ICI collectives x2-3) for fixed vs adaptive
+    # Eisenstat-Walker forcing on odometry-initialized intel at D=8.
+    # Round counts are platform-independent, so this row is meaningful
+    # even from the CPU-mesh proxy.
+    try:
+        from rustrobotics_tpu.mapping.g2o import load_g2o
+        import os as _os
+        _path = _os.environ.get(
+            "RUSTROBOTICS_DATASET", "/root/reference/dataset"
+        ) + "/g2o/intel.g2o"
+        if len(cpus) >= 8 and _os.path.exists(_path):
+            g_intel = load_g2o(_path)
+            mesh8 = Mesh(_np.asarray(cpus[:8]), ("blocks",))
+            layout8 = build_block_layout(g_intel, 8)
+            st8, ed8, mp8 = layout_device_arrays(layout8, jnp.float32)
+            row = {"metric": "block_pgo_cg_forcing_intel_d8",
+                   "unit": "CG rounds / 6 GN iters"}
+            for forcing in ("fixed", "ew-fast"):
+                run = make_block_optimize(
+                    mesh8, layout8, num_iterations=6, tolerance=0.0,
+                    cg_tol=1e-6, cg_maxiter=2000, precond="schwarz",
+                    dtype=jnp.float32, cg_forcing=forcing)
+                out = run(st8, ed8, mp8)
+                jax.block_until_ready(out)
+                key = forcing.replace("-", "_")
+                row[f"rounds_{key}"] = int(out[3])
+                errs = _np.asarray(out[1])
+                fin = errs[~_np.isnan(errs)]
+                row[f"chi2_{key}"] = round(float(fin[-1]), 2) if len(fin) \
+                    else None
+            row["value"] = row.get("rounds_ew_fast")
+            results.append(row)
+    except Exception as exc:  # never sink the bench on the extra row
+        results.append({"metric": "block_pgo_cg_forcing_intel_d8",
+                        "error": str(exc)[:120]})
+
+
 
 def run_suite():
     try:
