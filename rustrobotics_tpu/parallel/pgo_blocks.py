@@ -1025,6 +1025,7 @@ def block_optimize_multistart(
     cg_tol: float = 1e-10,
     cg_maxiter: int | None = None,
     precond: str = "auto",
+    cg_forcing: str = "fixed",
 ):
     """Data-parallel MULTI-START on a 2-D (replica x blocks) mesh: R
     independent optimizations from jittered initializations run
@@ -1067,6 +1068,7 @@ def block_optimize_multistart(
         mesh, layout, num_iterations=num_iterations, solver=solver,
         tolerance=tolerance, prior_weight=prior_weight, cg_tol=cg_tol,
         cg_maxiter=cg_maxiter, precond=precond, dtype=dtype,
+        cg_forcing=cg_forcing,
     )
     out_state, errors, its, _ = run(state_r, edges, maps)
     errors = np.asarray(errors)
@@ -1124,6 +1126,7 @@ def block_optimize_elastic(
     cg_tol: float = 1e-10,
     cg_maxiter: int | None = None,
     precond: str = "auto",
+    cg_forcing: str = "fixed",
 ):
     """Preemption-safe distributed optimization (SURVEY §5 failure
     detection / elastic recovery — the reference has nothing, its PGO
@@ -1155,6 +1158,7 @@ def block_optimize_elastic(
         mesh, layout, num_iterations=segment, solver=solver,
         tolerance=tolerance, prior_weight=prior_weight, cg_tol=cg_tol,
         cg_maxiter=cg_maxiter, precond=precond, dtype=dtype,
+        cg_forcing=cg_forcing,
     )
 
     start = 0
