@@ -471,22 +471,30 @@ def bench_block_scaling(results, devices=(1, 2, 4, 8), base_poses=1024,
     # ~0.2 CG rounds/GN (near-exact subdomain solves), so they measure
     # assembly + dispatch, not the exchange path. Pin jacobi and force a
     # FIXED round count (cg_tol=0, maxiter=K) on the fixed graph: the
-    # timed program is dominated by K x (halo ppermute + matvec +
-    # 2 psums) — exactly the per-round cost a real ICI ring pays. The
-    # D-trend of ms/round is the honest comm-overhead curve.
+    # timed program is dominated by K x (halo ppermute + matvec + the
+    # fused dot psum) — exactly the per-round cost a real ICI ring pays.
+    # The D-trend of ms/round is the honest comm-overhead curve. At the
+    # largest D the CLASSIC two-reduction CG is timed alongside, so the
+    # single-reduction variant's collective saving is measured, not
+    # asserted.
     rounds_k = 32
     round_t1 = None
     for d in avail:
         mesh = Mesh(_np.asarray(cpus[:d]), ("blocks",))
         layout = build_block_layout(g_fix, d)
         state, edges, maps = layout_device_arrays(layout, jnp.float32)
-        run = make_block_optimize(
-            mesh, layout, num_iterations=1, tolerance=0.0,
-            cg_tol=0.0, cg_maxiter=rounds_k, precond="jacobi",
-            dtype=jnp.float32,
-        )
-        t, out = _bench_out(lambda: run(state, edges, maps), repeats=4)
-        k = max(int(out[3]), 1)
+
+        def time_variant(variant):
+            run = make_block_optimize(
+                mesh, layout, num_iterations=1, tolerance=0.0,
+                cg_tol=0.0, cg_maxiter=rounds_k, precond="jacobi",
+                dtype=jnp.float32, cg_variant=variant,
+            )
+            t, out = _bench_out(lambda: run(state, edges, maps),
+                                repeats=4)
+            return t, max(int(out[3]), 1)
+
+        t, k = time_variant("single")
         budget = comm_budget(layout, jnp.float32, 1, k)
         us_per_round = 1e6 * t / k
         if round_t1 is None:
@@ -495,7 +503,7 @@ def bench_block_scaling(results, devices=(1, 2, 4, 8), base_poses=1024,
         # a serialized host the ideal per-round wall is flat == t1; the
         # excess is the host thread-pool collective rendezvous — the
         # floor that does NOT transfer to ICI (~1-2 us/hop there)
-        results.append({
+        row = {
             "metric": f"block_pgo_cg_round_d{d}",
             "value": round(us_per_round, 1), "unit": "us/CG round",
             "cg_rounds": k,
@@ -505,7 +513,11 @@ def bench_block_scaling(results, devices=(1, 2, 4, 8), base_poses=1024,
             "collective_overhead_us_vs_d1": round(
                 us_per_round - round_t1, 1),
             "note": "fixed-round jacobi comm stress; " + note,
-        })
+        }
+        if d == max(avail) and d > 1:
+            tc, kc = time_variant("classic")
+            row["us_per_round_classic_2psum"] = round(1e6 * tc / kc, 1)
+        results.append(row)
 
     # --- inexact-Newton forcing economics on a real graph: total CG
     # rounds (= sequential ICI collectives x2-3) for fixed vs adaptive

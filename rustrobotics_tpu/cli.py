@@ -158,6 +158,7 @@ def cmd_pgo(args):
             solver=solver, cg_tol=1e-10 if f64 else 1e-6,
             cg_maxiter=4000, schur=args.schur,
             cg_forcing=args.cg_forcing,
+            cg_variant=getattr(args, "cg_variant", "auto"),
         )
         print(f"converged in {it} iterations; "
               f"chi2 {errors[0]:.1f} -> {errors[-1]:.5f}")
@@ -427,6 +428,11 @@ def main(argv=None):
                          "(ew: Eisenstat-Walker, exact optimum, ~2.5x "
                          "fewer collectives; ew-fast: ~11x fewer, "
                          "converges into the golden +/-1 band)")
+    sp.add_argument("--cg-variant", dest="cg_variant",
+                    choices=["auto", "single", "classic"], default="auto",
+                    help="with --distributed: CG communication pattern "
+                         "(single: Chronopoulos-Gear, one fused psum per "
+                         "round; classic: textbook two-reduction loop)")
     sp.set_defaults(fn=cmd_pgo)
 
     sp = sub.add_parser("pendulum", help="LQR inverted pendulum")

@@ -326,10 +326,11 @@ class _Dims:
     schur: bool = False
     rep: str | None = None  # replica axis name on a 2-D mesh
     nc: int = 3  # coarse-space columns per block (schwarz2): max node dof
+    cg_variant: str = "single"  # "single" (1 psum/round) | "classic" (2)
 
 
 def _dims_from(layout, precond, prior_weight, cg_tol, cg_maxiter, dtype,
-               mesh):
+               mesh, cg_variant: str = "auto"):
     if precond == "auto":
         # Schwarz on a real multi-device mesh: each CG round costs two
         # sequential collectives, and the local banded factor cuts round
@@ -348,6 +349,15 @@ def _dims_from(layout, precond, prior_weight, cg_tol, cg_maxiter, dtype,
         # scatter couplings into the wrong A_c entries. Tiny/narrow
         # partitions don't need a coarse space — drop to plain Schwarz.
         precond = "schwarz"
+    if cg_variant == "auto":
+        # single-reduction (Chronopoulos-Gear) CG: the two per-round dot
+        # psums fuse into ONE, cutting the sequential collective chain
+        # per CG round from 3 to 2 (halo ppermute + 1 psum). On a
+        # latency-bound ICI ring that is a third of the round's wire
+        # time for the cost of one extra AXPY per round. Golden parity
+        # tests pin both variants; "classic" stays for A/B measurement.
+        cg_variant = "single"
+    assert cg_variant in ("single", "classic"), cg_variant
     # on a 2-D (replica x blocks) mesh every collective stays on the
     # LAST (blocks) axis; the replica axis never sees per-CG traffic
     return _Dims(
@@ -360,6 +370,7 @@ def _dims_from(layout, precond, prior_weight, cg_tol, cg_maxiter, dtype,
         dtype=dtype, band_pad=layout.band_pad, schur=layout.schur,
         rep=(mesh.axis_names[0] if len(mesh.axis_names) == 2 else None),
         nc=(int(layout.dof_pos.max()) + 1 if layout.dof_pos.size else 3),
+        cg_variant=cg_variant,
     )
 
 
@@ -650,6 +661,9 @@ def _pcg(dm: _Dims, tbl, nbr, precond, b, eta=None, bb=None):
 
     x0 = jnp.zeros_like(b)
     z0 = precond(b)
+    if dm.cg_variant == "single":
+        return _pcg_single(dm, matvec, precond, b, x0, z0, eta, bb)
+
     if bb is None:
         d0 = jax.lax.psum(jnp.stack([jnp.vdot(b, z0), jnp.vdot(b, b)]),
                           dm.axis)
@@ -692,6 +706,74 @@ def _pcg(dm: _Dims, tbl, nbr, precond, b, eta=None, bb=None):
     return out[0], out[6]
 
 
+def _pcg_single(dm: _Dims, matvec, precond, b, x0, z0, eta, bb):
+    """Single-reduction PCG (Chronopoulos & Gear 1989).
+
+    Classic PCG pays two sequentially-dependent scalar reductions per
+    round — (p, Ap) before the state update and (r, z) after — so a CG
+    round on a pod slice is a 3-deep collective chain (halo ppermute,
+    psum, psum). Recurring s_k = A p_k alongside p_k moves the matvec to
+    the preconditioned residual z and lets ALL three dots of a round —
+    (r, z), (Az, z), (r, r) — ride ONE fused psum:
+
+        x+ = x + alpha p        r+ = r - alpha s
+        z+ = M^-1 r+            w+ = A z+
+        [gamma+, delta+, rr+] = psum([(r+,z+), (w+,z+), (r+,r+)])
+        beta+  = gamma+ / gamma
+        alpha+ = gamma+ / (delta+ - beta+ gamma+ / alpha)
+        p+ = z+ + beta+ p       s+ = w+ + beta+ s
+
+    Mathematically identical to classic CG in exact arithmetic (same
+    Krylov iterates); the recurrences trade one extra AXPY per round for
+    a collective. f64 drift over the round counts the preconditioners
+    produce (tens with Schwarz, thousands with Jacobi) stays below the
+    golden-parity tolerance — pinned by tests/test_blocks.py both ways.
+    """
+    w0 = matvec(z0)
+    if bb is None:
+        d0 = jax.lax.psum(
+            jnp.stack([jnp.vdot(b, z0), jnp.vdot(w0, z0),
+                       jnp.vdot(b, b)]), dm.axis)
+        rz0, wz0, bb = d0[0], d0[1], d0[2]
+    else:  # caller already psum'd |b|^2 (adaptive forcing)
+        d0 = jax.lax.psum(
+            jnp.stack([jnp.vdot(b, z0), jnp.vdot(w0, z0)]), dm.axis)
+        rz0, wz0 = d0[0], d0[1]
+    tol = dm.cg_tol if eta is None else eta
+    atol2 = (tol * tol) * bb
+    alpha0 = rz0 / wz0
+
+    def cond(s):
+        return _uniform_over_replicas(
+            dm, jnp.logical_and(s[8] < dm.maxiter, s[7] > atol2))
+
+    def step(s):
+        x, r, z, p, sv, rz, alpha, rr, k = s
+        done = rr <= atol2
+        x2 = x + alpha * p
+        r2 = r - alpha * sv
+        z2 = precond(r2)
+        w2 = matvec(z2)
+        d = jax.lax.psum(
+            jnp.stack([jnp.vdot(r2, z2), jnp.vdot(w2, z2),
+                       jnp.vdot(r2, r2)]), dm.axis)
+        beta = d[0] / rz
+        alpha2 = d[0] / (d[1] - beta * d[0] / alpha)
+        p2 = z2 + beta * p
+        s2 = w2 + beta * sv
+        if dm.rep is not None:
+            keep = lambda new, old: jnp.where(done, old, new)  # noqa: E731
+            x2, r2, z2, p2, s2 = (keep(x2, x), keep(r2, r), keep(z2, z),
+                                  keep(p2, p), keep(s2, sv))
+            rz2, al2, rr2 = keep(d[0], rz), keep(alpha2, alpha), keep(d[2], rr)
+            return (x2, r2, z2, p2, s2, rz2, al2, rr2, k + 1)
+        return (x2, r2, z2, p2, s2, d[0], alpha2, d[2], k + 1)
+
+    s0 = (x0, b, z0, z0, w0, rz0, alpha0, bb, jnp.asarray(0, jnp.int32))
+    out = jax.lax.while_loop(cond, step, s0)
+    return out[0], out[8]
+
+
 def layout_device_arrays(layout: BlockLayout, dtype):
     """The stacked (D, ...) arrays consumed by the kernels, as jnp with
     float fields cast to ``dtype``: (state, edges, maps) tuples."""
@@ -719,6 +801,7 @@ def make_block_optimize(
     precond: str = "auto",
     dtype=jnp.float64,
     cg_forcing: str = "fixed",
+    cg_variant: str = "auto",
 ):
     """Build the fully-jitted distributed optimizer.
 
@@ -743,6 +826,13 @@ def make_block_optimize(
     init that graph gives ew-fast 1083 vs fixed 4853 rounds, both in
     the golden band — pair the forcing with an initializer.
 
+    ``cg_variant`` picks the CG communication pattern: ``"single"``
+    (default via ``"auto"``) is Chronopoulos-Gear single-reduction CG —
+    one fused psum per round instead of classic CG's two sequential
+    ones, shrinking the per-round collective chain from 3 to 2 on the
+    blocks axis; ``"classic"`` keeps the textbook two-reduction loop
+    for A/B measurement. Same Krylov iterates in exact arithmetic.
+
     Returns ``run(state, edges, maps) -> (state', errors, iters,
     cg_rounds)`` where the tuples come from ``layout_device_arrays``.
     ``errors`` follows the reference trace layout
@@ -761,7 +851,7 @@ def make_block_optimize(
     else:
         assert mesh.devices.size == layout.num_devices
     dm = _dims_from(layout, precond, prior_weight, cg_tol, cg_maxiter,
-                    dtype, mesh)
+                    dtype, mesh, cg_variant=cg_variant)
     lm = solver in ("lm", "levenberg_marquardt")
     ew = cg_forcing in ("ew", "adaptive", "ew-fast")
     ew_cap = cg_forcing != "ew-fast"
@@ -906,12 +996,13 @@ def make_block_step(
     cg_maxiter: int | None = None,
     precond: str = "auto",
     dtype=jnp.float64,
+    cg_variant: str = "auto",
 ):
     """One distributed GN step for oracle tests: returns jitted
     ``solve(state, edges, maps, lam) -> (dx (D, ndof), chi2)`` with dx in
     the PADDED global layout (use layout.padded_to_ref to compare)."""
     dm = _dims_from(layout, precond, prior_weight, cg_tol, cg_maxiter,
-                    dtype, mesh)
+                    dtype, mesh, cg_variant=cg_variant)
 
     def unstack(tree):
         return jax.tree.map(lambda a: a[0], tree)
@@ -988,6 +1079,7 @@ def block_optimize(
     schur: bool = False,
     return_stats: bool = False,
     cg_forcing: str = "fixed",
+    cg_variant: str = "auto",
 ):
     """End-to-end convenience: build layout, run the one-program
     distributed optimization, return (graph', errors list, iterations).
@@ -1002,14 +1094,15 @@ def block_optimize(
         mesh, layout, num_iterations=num_iterations, solver=solver,
         tolerance=tolerance, prior_weight=prior_weight, cg_tol=cg_tol,
         cg_maxiter=cg_maxiter, precond=precond, dtype=dtype,
-        cg_forcing=cg_forcing,
+        cg_forcing=cg_forcing, cg_variant=cg_variant,
     )
     out_state, errors, it, cg_total = run(state, edges, maps)
     new_graph = extract_graph(layout, graph, out_state)
     errs = [float(e) for e in np.asarray(errors) if not np.isnan(e)]
     if not return_stats:
         return new_graph, errs, int(it)
-    stats = comm_budget(layout, dtype, int(it), int(cg_total))
+    stats = comm_budget(layout, dtype, int(it), int(cg_total),
+                        cg_variant=cg_variant)
     return new_graph, errs, int(it), stats
 
 
@@ -1026,6 +1119,7 @@ def block_optimize_multistart(
     cg_maxiter: int | None = None,
     precond: str = "auto",
     cg_forcing: str = "fixed",
+    cg_variant: str = "auto",
 ):
     """Data-parallel MULTI-START on a 2-D (replica x blocks) mesh: R
     independent optimizations from jittered initializations run
@@ -1068,7 +1162,7 @@ def block_optimize_multistart(
         mesh, layout, num_iterations=num_iterations, solver=solver,
         tolerance=tolerance, prior_weight=prior_weight, cg_tol=cg_tol,
         cg_maxiter=cg_maxiter, precond=precond, dtype=dtype,
-        cg_forcing=cg_forcing,
+        cg_forcing=cg_forcing, cg_variant=cg_variant,
     )
     out_state, errors, its, _ = run(state_r, edges, maps)
     errors = np.asarray(errors)
@@ -1084,14 +1178,16 @@ def block_optimize_multistart(
     return new_graph, traces, best
 
 
-def comm_budget(layout: BlockLayout, dtype, gn_iters: int, cg_total: int):
+def comm_budget(layout: BlockLayout, dtype, gn_iters: int, cg_total: int,
+                cg_variant: str = "auto"):
     """Analytic per-iteration communication budget of the block program
     (measured CG round counts x static per-round volumes). ``bytes``
     figures are per device per GN iteration.
 
     Per CG round: one halo exchange of the search direction (2 ppermute
-    hops x h values) + 2 scalar psums. Per GN iteration: the table halo
-    reduce (h rows x (W+1) values) + dx exchange + chi2/norm psums.
+    hops x h values) + 1 fused scalar psum ("single" variant; "classic"
+    pays 2 sequential psums). Per GN iteration: the table halo reduce
+    (h rows x (W+1) values) + dx exchange + chi2/norm psums.
     """
     itemsize = np.dtype(np.float32 if dtype == jnp.float32
                         else np.float64).itemsize
@@ -1099,12 +1195,14 @@ def comm_budget(layout: BlockLayout, dtype, gn_iters: int, cg_total: int):
     gn = max(gn_iters, 1)
     cg_per_gn = cg_total / gn
     halo_bytes = h * itemsize
+    psums_per_round = 2 if cg_variant == "classic" else 1
     return {
         "gn_iters": gn_iters,
         "cg_rounds_total": cg_total,
         "cg_rounds_per_gn": round(cg_per_gn, 1),
         "halo_dofs_h": int(h),
-        "collectives_per_gn": round(cg_per_gn * 4 + 6, 1),
+        "collectives_per_gn": round(
+            cg_per_gn * (2 + psums_per_round) + 6, 1),
         "ppermute_bytes_per_gn": int(
             cg_per_gn * 2 * halo_bytes            # CG halo exchanges
             + h * (W + 1) * itemsize              # assembly halo reduce
@@ -1127,6 +1225,7 @@ def block_optimize_elastic(
     cg_maxiter: int | None = None,
     precond: str = "auto",
     cg_forcing: str = "fixed",
+    cg_variant: str = "auto",
 ):
     """Preemption-safe distributed optimization (SURVEY §5 failure
     detection / elastic recovery — the reference has nothing, its PGO
@@ -1158,7 +1257,7 @@ def block_optimize_elastic(
         mesh, layout, num_iterations=segment, solver=solver,
         tolerance=tolerance, prior_weight=prior_weight, cg_tol=cg_tol,
         cg_maxiter=cg_maxiter, precond=precond, dtype=dtype,
-        cg_forcing=cg_forcing,
+        cg_forcing=cg_forcing, cg_variant=cg_variant,
     )
 
     start = 0

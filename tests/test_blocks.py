@@ -292,8 +292,82 @@ def test_overlapped_matvec_parity_small_halo():
     # final entries sit at machine-zero chi2 where relative comparison
     # is meaningless — pin the descent trace and require both to vanish
     np.testing.assert_allclose(np.asarray(errs)[:3],
-                               np.asarray(errs1)[:3], rtol=1e-6)
+                               np.asarray(errs1)[:3], rtol=1e-6, atol=1e-9)
     assert np.asarray(errs)[3] < 1e-12 and np.asarray(errs1)[3] < 1e-12
+
+
+def _psums_in_cg_body(jaxpr):
+    """Count psum equations inside the (unique) while-loop body that
+    performs the halo-exchange matvec — i.e. the CG loop."""
+    def has_ppermute(jx):
+        for eqn in jx.eqns:
+            if eqn.primitive.name == "ppermute":
+                return True
+            for v in eqn.params.values():
+                for w in (v if isinstance(v, (list, tuple)) else (v,)):
+                    inner = getattr(w, "jaxpr", w)
+                    if hasattr(inner, "eqns") and has_ppermute(inner):
+                        return True
+        return False
+
+    def count_psums(jx):
+        n = 0
+        for eqn in jx.eqns:
+            if eqn.primitive.name == "psum":
+                n += 1
+            for v in eqn.params.values():
+                for w in (v if isinstance(v, (list, tuple)) else (v,)):
+                    inner = getattr(w, "jaxpr", w)
+                    if hasattr(inner, "eqns"):
+                        n += count_psums(inner)
+        return n
+
+    found = []
+
+    def walk(jx):
+        for eqn in jx.eqns:
+            if eqn.primitive.name == "while":
+                body = eqn.params["body_jaxpr"].jaxpr
+                if has_ppermute(body):
+                    found.append(count_psums(body))
+                walk(body)
+                continue
+            for v in eqn.params.values():
+                for w in (v if isinstance(v, (list, tuple)) else (v,)):
+                    inner = getattr(w, "jaxpr", w)
+                    if hasattr(inner, "eqns"):
+                        walk(inner)
+
+    walk(jaxpr)
+    assert len(found) == 1, f"expected one CG loop, found {found}"
+    return found[0]
+
+
+def test_cg_single_reduction_variant():
+    """Chronopoulos-Gear single-reduction CG (cg_variant="single" — the
+    "auto" default): (a) the distributed GN dx matches the classic
+    two-reduction loop and the host direct solve, and (b) the CG
+    while-loop BODY carries exactly ONE psum where classic carries two —
+    the per-round collective-chain cut pinned against the program's own
+    jaxpr, the structural analog of the comm_budget accounting."""
+    g = synthetic_pose_graph_2d(num_poses=48, num_landmarks=6,
+                                dtype=jnp.float64)
+    layout = build_block_layout(g, 4)
+    state, edges, maps = layout_device_arrays(layout, jnp.float64)
+    mesh = make_mesh(4, axis="blocks")
+    dxs, psums = {}, {}
+    for variant in ("classic", "single"):
+        solve = make_block_step(mesh, layout, cg_tol=1e-13,
+                                precond="jacobi", cg_variant=variant)
+        dx, _ = solve(state, edges, maps, jnp.asarray(0.0))
+        dxs[variant] = dx_to_reference(layout, dx)
+        jaxpr = jax.make_jaxpr(solve)(state, edges, maps,
+                                      jnp.asarray(0.0))
+        psums[variant] = _psums_in_cg_body(jaxpr.jaxpr)
+    np.testing.assert_allclose(dxs["single"], dxs["classic"], atol=1e-8)
+    dx_host = np.asarray(linearize_and_solve(g, backend="host"))
+    np.testing.assert_allclose(dxs["single"], dx_host, atol=1e-7)
+    assert psums == {"classic": 2, "single": 1}, psums
 
 
 @pytest.mark.slow
