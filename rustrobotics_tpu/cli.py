@@ -29,11 +29,21 @@ def _apply_precision(args):
     f64 LU/Cholesky), so x64 always pairs with the CPU backend."""
     import jax
 
+    host = getattr(args, "x64", False) or getattr(args, "cpu", False)
     if getattr(args, "x64", False):
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_enable_x64", True)
     elif getattr(args, "cpu", False):
         jax.config.update("jax_platforms", "cpu")
+    # --distributed N on the host backend: surface N virtual CPU devices
+    # so the mesh (and ppermute/psum traffic) is real, not clamped to 1.
+    n_mesh = int(getattr(args, "distributed", 0) or 0) * max(
+        1, int(getattr(args, "replicas", 1) or 1))
+    if host and n_mesh > 1:
+        try:
+            jax.config.update("jax_num_cpu_devices", n_mesh)
+        except RuntimeError:  # backend already initialized — keep going
+            pass
 
 
 def cmd_localization(args):

@@ -1080,6 +1080,7 @@ def block_optimize(
     return_stats: bool = False,
     cg_forcing: str = "fixed",
     cg_variant: str = "auto",
+    slice_size: int | None = None,
 ):
     """End-to-end convenience: build layout, run the one-program
     distributed optimization, return (graph', errors list, iterations).
@@ -1102,7 +1103,7 @@ def block_optimize(
     if not return_stats:
         return new_graph, errs, int(it)
     stats = comm_budget(layout, dtype, int(it), int(cg_total),
-                        cg_variant=cg_variant)
+                        cg_variant=cg_variant, slice_size=slice_size)
     return new_graph, errs, int(it), stats
 
 
@@ -1179,7 +1180,7 @@ def block_optimize_multistart(
 
 
 def comm_budget(layout: BlockLayout, dtype, gn_iters: int, cg_total: int,
-                cg_variant: str = "auto"):
+                cg_variant: str = "auto", slice_size: int | None = None):
     """Analytic per-iteration communication budget of the block program
     (measured CG round counts x static per-round volumes). ``bytes``
     figures are per device per GN iteration.
@@ -1188,6 +1189,21 @@ def comm_budget(layout: BlockLayout, dtype, gn_iters: int, cg_total: int,
     hops x h values) + 1 fused scalar psum ("single" variant; "classic"
     pays 2 sequential psums). Per GN iteration: the table halo reduce
     (h rows x (W+1) values) + dx exchange + chi2/norm psums.
+
+    ``slice_size`` (devices per ICI pod slice) adds the multi-slice DCN
+    budget (SURVEY §5: "ICI within a pod slice, DCN across slices").
+    Block ranks are an RCM-ordered 1-D chain, so map contiguous ranks to
+    slices (the default `jax.devices()` order on a multislice deployment)
+    and ALL halo ppermutes are nearest-neighbor: only the ``slices - 1``
+    chain boundaries at slice edges cross DCN, each carrying 2 messages
+    of h values per CG round — the halo traffic is boundary-local by
+    construction. The scalar dot psum, by contrast, spans every slice:
+    any all-reduce over >1 slice pays >=1 DCN traversal per round
+    REGARDLESS of D or payload (8-24 B). DCN latency (~10s of us) is
+    therefore paid ``cg_rounds x psums_per_round`` times per GN
+    iteration on the critical path — which is why the round-count levers
+    (Schwarz preconditioning, Eisenstat-Walker forcing, single-reduction
+    CG) are exactly the multi-slice scaling levers.
     """
     itemsize = np.dtype(np.float32 if dtype == jnp.float32
                         else np.float64).itemsize
@@ -1196,7 +1212,7 @@ def comm_budget(layout: BlockLayout, dtype, gn_iters: int, cg_total: int,
     cg_per_gn = cg_total / gn
     halo_bytes = h * itemsize
     psums_per_round = 2 if cg_variant == "classic" else 1
-    return {
+    out = {
         "gn_iters": gn_iters,
         "cg_rounds_total": cg_total,
         "cg_rounds_per_gn": round(cg_per_gn, 1),
@@ -1209,6 +1225,34 @@ def comm_budget(layout: BlockLayout, dtype, gn_iters: int, cg_total: int,
             + 2 * halo_bytes),                    # dx exchange
         "note": "per device per GN iteration; psums are scalar",
     }
+    if slice_size:
+        D = layout.num_devices
+        slices = -(-D // slice_size)  # ceil
+        dcn_boundaries = max(slices - 1, 0)
+        # bytes crossing EACH DCN boundary per GN iteration (both
+        # directions): CG halo exchanges + assembly halo reduce + dx
+        per_boundary = int(
+            cg_per_gn * 2 * halo_bytes
+            + h * (W + 1) * itemsize
+            + 2 * halo_bytes) if dcn_boundaries else 0
+        out["dcn"] = {
+            "slice_size": int(slice_size),
+            "slices": int(slices),
+            "dcn_boundaries": int(dcn_boundaries),
+            "ici_boundaries": int(max(D - 1 - dcn_boundaries, 0)),
+            "dcn_bytes_per_boundary_per_gn": per_boundary,
+            # sequential DCN traversals on the critical path per GN:
+            # every scalar psum spans the slices; a halo ppermute only
+            # crosses DCN at the (slices-1) edge boundaries, and those
+            # crossings happen in parallel -> at most 1 per round
+            "dcn_traversals_per_gn": round(
+                cg_per_gn * (psums_per_round
+                             + (1 if dcn_boundaries else 0)) + 6, 1),
+            "note": "halo traffic is boundary-local (RCM chain -> "
+                    "contiguous ranks per slice); psum latency x "
+                    "round count dominates DCN cost",
+        }
+    return out
 
 
 def block_optimize_elastic(

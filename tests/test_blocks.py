@@ -419,3 +419,47 @@ def test_block_ew_forcing_matches_fixed(dataset_dir, mesh8):
     # fast mode: golden-band optimum, much fewer rounds (measured 475)
     assert abs(chi2_fast - 360.0) <= 1.0, chi2_fast
     assert rounds_fast < 0.5 * rounds_ew, (rounds_fast, rounds_ew)
+
+
+def test_comm_budget_multislice_dcn():
+    """Multi-slice DCN accounting (SURVEY §5: ICI within a pod slice,
+    DCN across slices): with contiguous block ranks per slice, only the
+    slices-1 chain boundaries carry halo bytes over DCN, while every
+    scalar dot psum pays one DCN traversal per CG round — so the
+    critical-path DCN count scales with the ROUND count, and the
+    single-reduction variant's fused psum shows up as strictly fewer
+    traversals than classic at identical round counts."""
+    from rustrobotics_tpu.parallel.pgo_blocks import comm_budget
+
+    g = synthetic_pose_graph_2d(num_poses=48, num_landmarks=6,
+                                dtype=jnp.float64)
+    layout = build_block_layout(g, 8)
+    budgets = {
+        v: comm_budget(layout, jnp.float64, gn_iters=4, cg_total=400,
+                       cg_variant=v, slice_size=4)
+        for v in ("single", "classic")
+    }
+    for v, b in budgets.items():
+        d = b["dcn"]
+        assert d["slices"] == 2 and d["dcn_boundaries"] == 1, d
+        assert d["ici_boundaries"] == 6, d
+        # 100 rounds/GN x 2 x h x 8B + assembly reduce + dx exchange
+        h = b["halo_dofs_h"]
+        assert d["dcn_bytes_per_boundary_per_gn"] >= 100 * 2 * h * 8, d
+    t_single = budgets["single"]["dcn"]["dcn_traversals_per_gn"]
+    t_classic = budgets["classic"]["dcn"]["dcn_traversals_per_gn"]
+    # classic pays one extra sequential psum traversal per round
+    assert t_classic - t_single == pytest.approx(100.0), (
+        t_single, t_classic)
+    # one slice => no DCN section boundaries, traversals drop to psums
+    b1 = comm_budget(layout, jnp.float64, gn_iters=4, cg_total=400,
+                     cg_variant="single", slice_size=8)
+    assert b1["dcn"]["dcn_boundaries"] == 0
+    assert b1["dcn"]["dcn_bytes_per_boundary_per_gn"] == 0
+    # end-to-end plumbing: block_optimize(return_stats, slice_size)
+    mesh = make_mesh(2, axis="blocks")
+    _, _, _, stats = block_optimize(
+        mesh, g, num_iterations=2, tolerance=0.0, cg_tol=1e-8,
+        precond="jacobi", return_stats=True, slice_size=1)
+    assert stats["dcn"]["slices"] == 2
+    assert stats["dcn"]["dcn_bytes_per_boundary_per_gn"] > 0
