@@ -30,6 +30,15 @@ if "--cpu" in sys.argv:  # env vars are ignored (jax preloads at startup)
     sys.argv.remove("--cpu")
     jax.config.update("jax_platforms", "cpu")
 
+# --no-pallas: skip the Mosaic kernels. On the axon tunnel a Mosaic
+# compile was observed to wedge the remote worker (every later dispatch
+# from this process blocks in recv) — a hang here would lose the whole
+# dissection, so the harvest path runs with Pallas disabled and
+# bench.py's subprocess pre-flight owns the Mosaic attempt.
+NO_PALLAS = "--no-pallas" in sys.argv
+if NO_PALLAS:
+    sys.argv.remove("--no-pallas")
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -161,7 +170,7 @@ def bench_graph(name, path):
                 + jnp.einsum("jab,jb->ja", lo, x_prev, precision=hi)
                 + jnp.einsum("jab,ja->jb", lo_next, x_next, precision=hi))
 
-    on_tpu = jax.devices()[0].platform == "tpu"
+    on_tpu = jax.devices()[0].platform == "tpu" and not NO_PALLAS
     x_ell = b
     rec["ell_matvec_ms"] = _t(ell_mv(), x_ell) * 1e3
     rec["band_matvec_ms"] = _t(jax.jit(band_mv), bp) * 1e3

@@ -31,7 +31,7 @@ EOF
     HARVESTS=$((HARVESTS + 1))
     stamp=$(date +%Y%m%d_%H%M%S)
     echo "$ts HARVEST starting bench -> /tmp/bench_tpu_live_$stamp.json" >> "$LOG"
-    (cd /root/repo && timeout 2700 python tools/tpu_microbench.py intel dlr \
+    (cd /root/repo && timeout 2700 python tools/tpu_microbench.py --no-pallas intel dlr \
         > "/tmp/microbench_tpu_$stamp.json" \
         2> "/tmp/microbench_tpu_$stamp.err")
     echo "$(date +%H:%M:%S) MICROBENCH done rc=$? ($stamp)" >> "$LOG"
