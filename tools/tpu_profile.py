@@ -60,6 +60,8 @@ def main():
     ap.add_argument("--backend", default="banded-direct")
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--top", type=int, default=25)
+    ap.add_argument("--width", type=int, default=60,
+                    help="op-name truncation width")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.cpu:
@@ -91,10 +93,11 @@ def main():
         print("no XLA Ops lines found (CPU traces often lack them; "
               "run on the TPU)")
         return
-    width = max(len(k[:60]) for k, _ in totals.most_common(args.top))
+    w = args.width
+    width = max(len(k[:w]) for k, _ in totals.most_common(args.top))
     for name, ps in totals.most_common(args.top):
         pct = 100.0 * ps / max(device_total_ps, 1)
-        print(f"{name[:60]:<{width}}  {ps / 1e9:9.3f} ms  {pct:5.1f}%")
+        print(f"{name[:w]:<{width}}  {ps / 1e9:9.3f} ms  {pct:5.1f}%")
 
 
 if __name__ == "__main__":
