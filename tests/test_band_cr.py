@@ -47,6 +47,7 @@ def test_cr_matches_sequential_banded(num_poses):
     assert np.abs(x_cr - x_seq).max() / scale < 1e-9, num_poses
 
 
+@pytest.mark.slow
 def test_cr_matches_host_direct(dataset_dir):
     g = load_g2o(dataset_dir / "g2o" / "simulation-pose-landmark.g2o")
     lay, bl, vals, b = _system(g)

@@ -67,6 +67,7 @@ def test_factor_matches_chain(sim_pp):
     )
 
 
+@pytest.mark.slow
 def test_solve_matches_host_direct(sim_pp):
     """Full solve contract vs the f64 sparse direct solve — accuracy in
     the same class as the f32 XLA chain on this gauge-prior-conditioned

@@ -343,6 +343,7 @@ def _psums_in_cg_body(jaxpr):
     return found[0]
 
 
+@pytest.mark.slow
 def test_cg_single_reduction_variant():
     """Chronopoulos-Gear single-reduction CG (cg_variant="single" — the
     "auto" default): (a) the distributed GN dx matches the classic

@@ -31,6 +31,7 @@ def test_mesh_2d_layout():
     assert mesh.devices.shape == (2, 4)
 
 
+@pytest.mark.slow
 def test_replicated_smoke_matches_1d():
     """Fast 2-D smoke: a tiny 2-iteration run on a (2, 4) mesh must
     reproduce the 1-D blocks run in every replica row."""

@@ -34,14 +34,16 @@ def _jitter(g, key, scale=0.05):
 
 
 def test_batch_rows_match_unbatched():
-    g = synthetic_corridor_graph_2d(num_poses=64, closure_span=8,
+    # fast smoke: dense backend, tiny graph; the banded batched path is
+    # pinned by the slow golden test below
+    g = synthetic_corridor_graph_2d(num_poses=32, closure_span=8,
                                     dtype=jnp.float32)
     graphs = [g, _jitter(g, jax.random.key(1))]
-    run_b = make_optimize_batch(g, num_iterations=6, tolerance=0.0,
-                                backend="banded-direct")
+    run_b = make_optimize_batch(g, num_iterations=4, tolerance=0.0,
+                                backend="dense")
     out_b, errs_b, it_b = run_b(stack_graphs(graphs))
-    run_1 = make_optimize_jit(g, num_iterations=6, tolerance=0.0,
-                              backend="banded-direct")
+    run_1 = make_optimize_jit(g, num_iterations=4, tolerance=0.0,
+                              backend="dense")
     for i, gi in enumerate(graphs):
         out_1, errs_1, _ = run_1(gi)
         np.testing.assert_array_equal(np.asarray(errs_b)[i],

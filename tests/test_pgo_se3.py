@@ -46,6 +46,7 @@ def test_se3_residual_zero_on_consistent_edge():
     np.testing.assert_allclose(np.asarray(e), 0.0, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_se3_jacobians_match_finite_differences():
     rng = np.random.default_rng(1)
     q1 = rng.normal(size=4); q1 /= np.linalg.norm(q1)

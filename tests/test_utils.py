@@ -36,6 +36,7 @@ def test_mvn_standard_normal_golden():
     assert np.isclose(float(mvn.pdf(jnp.array([0.0, 1.0]))), 0.09653235, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_mvn_batched_pdf_matches_scipy():
     from scipy.stats import multivariate_normal
 

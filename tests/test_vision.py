@@ -178,6 +178,7 @@ def test_zhang_radial_distortion():
     np.testing.assert_allclose(np.asarray(sol), [k1, k2], atol=0.02)
 
 
+@pytest.mark.slow
 def test_triangulation():
     rng = np.random.default_rng(4)
     pts = rng.uniform(-1, 1, size=(50, 3)) + np.array([0, 0, 4.0])
