@@ -63,9 +63,23 @@ def main():
     ap.add_argument("--width", type=int, default=60,
                     help="op-name truncation width")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--force", action="store_true",
+                    help="allow profiler capture on the axon TPU tunnel")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    elif not args.force:
+        # Round-4 evidence (2026-08-19): a jax.profiler capture over the
+        # axon tunnel wedged the remote TPU worker (every later dispatch
+        # hung; probe loop read DEAD until the worker restarted). On a
+        # directly-attached TPU this tool is safe — on the tunnel,
+        # require --force and prefer tools/tpu_microbench.py's
+        # RTT-amortized timing dissection instead.
+        print("refusing profiler capture over the axon tunnel "
+              "(wedges the remote worker); pass --force on a "
+              "directly-attached TPU, or use tpu_microbench.py",
+              file=sys.stderr)
+        sys.exit(2)
 
     import jax.numpy as jnp
 
