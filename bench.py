@@ -368,6 +368,25 @@ def _revived_tpu_rerun():
     return lines[-1] if lines else None
 
 
+def _rtt_extra():
+    """Host->device dispatch+sync round-trip of a trivial program (ms).
+
+    Context for every latency row in the artifact: over the axon tunnel
+    this floor is ~20-30 ms, so single-call numbers (e.g.
+    ekf_update_latency) measure the tunnel, not the device — the
+    throughput rows and the one-jitted-program headline are the
+    device-side truth."""
+    f = jax.jit(lambda x: x + 1.0)
+    x = jnp.zeros((8,), jnp.float32)
+    jax.block_until_ready(f(x))
+    best = float("inf")
+    for _ in range(9):
+        t0 = time.perf_counter()
+        jax.block_until_ready(f(x))
+        best = min(best, time.perf_counter() - t0)
+    return round(best * 1e3, 3)
+
+
 def main():
     graph, name = _load_graph()
     iters = 10
@@ -375,6 +394,7 @@ def main():
     host_s = _time_host_path(graph, iters=iters)
     iters_per_sec = iters / device_s
     extra = _roofline_extra(graph, device_s, iters, backend, timed)
+    extra["dispatch_rtt_ms"] = _rtt_extra()
     extra.update(_scaling_extra())
     extra.update(_suite_extra(_TPU_OK))
     print(
