@@ -32,6 +32,7 @@ across GN/LM iterations.
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import jax
 import jax.numpy as jnp
@@ -39,11 +40,24 @@ import numpy as np
 
 
 # Band-buffer scatter strategy, flippable after hardware measurement
-# (tools/tpu_microbench.py times both): "add" = one scatter-add of all
-# kept triplets; "sorted" = sorted segment_sum into unique destinations
-# + a unique/sorted scatter-set (no read-modify-write on the 2kb-wide
-# buffer — the variant XLA's TPU scatter emitter can vectorize).
-BAND_SCATTER_MODE = "add"
+# (tools/tpu_microbench.py times all; tools/tpu_dissect.py attributes
+# device time): "add" = one scatter-add of all kept triplets; "sorted" =
+# sorted segment_sum into unique destinations + a unique/sorted
+# scatter-set; "strips" = node-block row strips — dedup contributions
+# into (S, 3) strips with one sorted segment_sum, place them at their
+# column offsets by iota-compare (pure VPU, no indexing), then a
+# row-sorted segment_sum of 2kb-wide rows.
+#
+# Measured verdict (TPU v5e, device-side ablation 2026-08-19): "add"
+# wins. The band assembly is bound by XLA's per-INDEX cost of any
+# gather/scatter (~19 ns/scalar index, ~88 ns/36-wide row index,
+# ~257 ns/1024-wide row — measured), not by memory bandwidth, and every
+# reformulation (sorted segment_sum, strips, 3x3 block windows via
+# lax.scatter_add [58 ms — serialized!], row-granular takes) pays that
+# same toll on its own indexed op. Strips stage-1's T-element gather
+# alone costs as much as the whole scatter-add. Kept selectable for
+# other platforms and for the parity test.
+BAND_SCATTER_MODE = os.environ.get("RUSTROBOTICS_BAND_SCATTER", "add")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -66,6 +80,19 @@ class BandCholLayout:
     sel_sorted: np.ndarray   # sel reordered by flat_idx
     seg_sorted: np.ndarray   # nondecreasing segment id per sorted triplet
     uniq_idx: np.ndarray     # unique destinations (sorted)
+    # strip plan ("strips" scatter mode): one strip = (band row, 3
+    # contiguous columns starting at a node block's first permuted
+    # column). Scalar RCM keeps every node's dofs contiguous (verified
+    # on all bundled graphs), so each (node_r, node_c) contribution
+    # block decomposes into <=3 such strips; duplicate contributions
+    # (several edges hitting the same pose pair / diagonal block) merge
+    # in a sorted segment_sum over 3*S slots.
+    strip_src: np.ndarray    # kept-triplet indices sorted by slot id
+    strip_seg: np.ndarray    # nondecreasing slot id (strip*3 + offset)
+    strip_count: int         # S (0 when strips_ok is False)
+    strip_row: np.ndarray    # (S,) destination row in permuted order
+    strip_c0: np.ndarray     # (S,) local column start within the 2kb panel
+    strips_ok: bool          # grouped order adopted; strip plan usable
 
 
 def build_band_chol(layout, max_bandwidth: int = 2048) -> BandCholLayout | None:
@@ -87,6 +114,27 @@ def build_band_chol(layout, max_bandwidth: int = 2048) -> BandCholLayout | None:
     rp = inv[rows]
     cp = inv[cols]
     q = int(np.abs(rp - cp).max()) if len(rp) else 0
+
+    # Node-grouped variant of the scalar-RCM order: pull each node's
+    # dofs together at the node's first permuted position. The strip
+    # assembly plan needs node-contiguous columns; scalar RCM usually
+    # already provides this (intel/dlr/sphere2500/torus3D) but not
+    # always (simulation-pose-pose). Adopt the grouped order only when
+    # it does not widen the padded bandwidth.
+    db_all = np.asarray(layout.dof_block, dtype=np.int64)
+    node_min = np.full(int(db_all.max()) + 1, n, dtype=np.int64)
+    np.minimum.at(node_min, db_all, inv)
+    key_g = node_min[db_all] * np.int64(n) + inv
+    inv_g = np.empty(n, np.int64)
+    inv_g[np.argsort(key_g, kind="stable")] = np.arange(n)
+    q_g = int(np.abs(inv_g[rows] - inv_g[cols]).max()) if len(rows) else 0
+    strips_ok = -(-q_g // 128) <= max(2, -(-q // 128))
+    if strips_ok:
+        q, inv = q_g, inv_g
+        perm = np.empty(n, np.int64)
+        perm[inv] = np.arange(n)
+        rp, cp = inv[rows], inv[cols]
+
     kb = max(256, int(-(-q // 128)) * 128)
     if kb > max_bandwidth:
         return None
@@ -107,6 +155,34 @@ def build_band_chol(layout, max_bandwidth: int = 2048) -> BandCholLayout | None:
     uniq_idx, inv_u = np.unique(flat_idx, return_inverse=True)
     seg_sorted = inv_u[order].astype(np.int32)
 
+    # ---- strip plan: group kept triplets by (row, col-node start)
+    if strips_ok:
+        node_start = np.full(int(db_all.max()) + 1, n, dtype=np.int64)
+        np.minimum.at(node_start, db_all, inv)
+        ns = node_start[db_all[cols[sel]]]   # permuted col start of node
+        off = cs - ns                        # 0..dim-1 within the node
+        assert off.min() >= 0, "node dofs not contiguous"
+        # chunk wide nodes (SE3: 6 dof) into 3-wide sub-strips
+        s_c = ns + 3 * (off // 3)
+        slot = off % 3
+        key = rs * np.int64(n) + s_c         # lexicographic (row, c0)
+        uniq_key, strip_of = np.unique(key, return_inverse=True)
+        slot_id = strip_of.astype(np.int64) * 3 + slot
+        sorder = np.argsort(slot_id, kind="stable")
+        strip_src = sel[sorder].astype(np.int64)
+        strip_seg = slot_id[sorder].astype(np.int32)
+        strip_count = len(uniq_key)
+        strip_row = (uniq_key // n).astype(np.int32)
+        strip_c0 = (uniq_key % n
+                    - (strip_row.astype(np.int64) // kb - 1) * kb
+                    ).astype(np.int32)
+    else:
+        strip_src = np.zeros(0, np.int64)
+        strip_seg = np.zeros(0, np.int32)
+        strip_count = 0
+        strip_row = np.zeros(0, np.int32)
+        strip_c0 = np.zeros(0, np.int32)
+
     return BandCholLayout(
         n=n, kb=kb, nb=nb, q=q,
         perm=perm.astype(np.int32), inv_perm=inv.astype(np.int32),
@@ -119,6 +195,12 @@ def build_band_chol(layout, max_bandwidth: int = 2048) -> BandCholLayout | None:
         sel_sorted=sel[order].astype(np.int64),
         seg_sorted=seg_sorted,
         uniq_idx=uniq_idx.astype(np.int64),
+        strip_src=strip_src,
+        strip_seg=strip_seg,
+        strip_count=strip_count,
+        strip_row=strip_row,
+        strip_c0=strip_c0,
+        strips_ok=strips_ok,
     )
 
 
@@ -133,7 +215,28 @@ def _prepare_blocks(bl: BandCholLayout, vals):
     # scatter RAW kept values; scaling happens on the block-row buffer
     # (per-triplet dinv gathers cost ~2 ms/iteration on intel — the
     # broadcastable row/column scale below is 3 reads of a 23 MB buffer)
-    if BAND_SCATTER_MODE == "sorted":
+    if BAND_SCATTER_MODE == "strips" and bl.strips_ok:
+        # 1) merge duplicate contributions per (strip, slot): sorted
+        #    segment reduce, no random writes
+        sv = jax.ops.segment_sum(
+            vals[jnp.asarray(bl.strip_src)], jnp.asarray(bl.strip_seg),
+            num_segments=3 * bl.strip_count, indices_are_sorted=True,
+        ).reshape(bl.strip_count, 3)
+        # 2) place each strip's 3 values at its column offset: three
+        #    fused iota-compare selects over (S, 2kb) — pure VPU
+        iota = jax.lax.broadcasted_iota(
+            jnp.int32, (bl.strip_count, 2 * kb), 1)
+        c0 = jnp.asarray(bl.strip_c0)[:, None]
+        strips = (jnp.where(iota == c0, sv[:, 0:1], 0)
+                  + jnp.where(iota == c0 + 1, sv[:, 1:2], 0)
+                  + jnp.where(iota == c0 + 2, sv[:, 2:3], 0))
+        # 3) sum strips into their band rows: row-sorted segment_sum of
+        #    2kb-wide rows (updates are whole rows, not scalars)
+        flat = jax.ops.segment_sum(
+            strips, jnp.asarray(bl.strip_row), num_segments=npad,
+            indices_are_sorted=True,
+        ).reshape(-1)
+    elif BAND_SCATTER_MODE == "sorted":
         u = jax.ops.segment_sum(
             vals[jnp.asarray(bl.sel_sorted)], jnp.asarray(bl.seg_sorted),
             num_segments=len(bl.uniq_idx), indices_are_sorted=True,
@@ -286,6 +389,85 @@ def band_substitute(lds, lps, bp):
     return xs
 
 
+def _invert_factors_unrolled(lds):
+    """Explicit triangular inverses of the per-block Cholesky factors.
+
+    One trsm with kb RHS columns per block — an MXU-wide operation that
+    is essentially free next to the factorization (TPU dissection
+    2026-08-19: the whole factor stage measures ~0 ms/iter) — whereas
+    the substitution's 1-RHS trsm chain was ~45% of the entire GN
+    iteration (2.0 ms on intel, 5.0 ms on dlr). With the inverses
+    precomputed, substitution is a pure-GEMV chain."""
+    eye = jnp.eye(lds[0].shape[-1], dtype=lds[0].dtype)
+    return [jax.scipy.linalg.solve_triangular(ld, eye, lower=True)
+            for ld in lds]
+
+
+def _substitute_inv_unrolled(ldinvs, lps, bp):
+    """Forward + backward substitution with precomputed Ld^{-1}: every
+    step is a (kb, kb) @ (kb,) matvec — no triangular-solve latency."""
+    nb = len(ldinvs)
+    ys = []
+    for j in range(nb):
+        rhs = bp[j]
+        if j > 0:
+            rhs = rhs - lps[j - 1] @ ys[j - 1]
+        ys.append(ldinvs[j] @ rhs)
+    xs = [None] * nb
+    for j in range(nb - 1, -1, -1):
+        rhs = ys[j]
+        if j + 1 < nb:
+            rhs = rhs - lps[j].T @ xs[j + 1]
+        xs[j] = ldinvs[j].T @ rhs
+    return jnp.stack(xs)
+
+
+def _invert_factors(lds):
+    """Batched variant of `_invert_factors_unrolled` for the scan chain."""
+    eye = jnp.eye(lds.shape[-1], dtype=lds.dtype)
+    return jax.vmap(
+        lambda ld: jax.scipy.linalg.solve_triangular(ld, eye, lower=True)
+    )(lds)
+
+
+def band_substitute_inv(ldinvs, lps, bp):
+    """`band_substitute` with precomputed inverse factors: scan of GEMVs."""
+    nb = bp.shape[0]
+    y0 = ldinvs[0] @ bp[0]
+    if nb > 1:
+        def fwd(y_prev, inp):
+            ldinv, lp_prev, rhs = inp
+            y = ldinv @ (rhs - lp_prev @ y_prev)
+            return y, y
+
+        _, ys_tail = jax.lax.scan(fwd, y0, (ldinvs[1:], lps, bp[1:]))
+        ys = jnp.concatenate([y0[None], ys_tail])
+    else:
+        ys = y0[None]
+    x_last = ldinvs[-1].T @ ys[-1]
+    if nb > 1:
+        def bwd(x_next, inp):
+            ldinv, lp, y = inp
+            x = ldinv.T @ (y - lp.T @ x_next)
+            return x, x
+
+        _, xs_head = jax.lax.scan(
+            bwd, x_last, (ldinvs[:-1], lps, ys[:-1]), reverse=True
+        )
+        xs = jnp.concatenate([xs_head, x_last[None]])
+    else:
+        xs = x_last[None]
+    return xs
+
+
+# Substitution strategy: "inv" (default) multiplies by precomputed
+# triangular inverses — the TPU-native choice (trsm with one RHS is a
+# latency-bound scalar recursion; the inversion itself is one MXU-wide
+# trsm inside the factorization). "trsm" keeps the classic
+# triangular-solve chain for verification.
+SUBSTITUTE_MODE = "inv"
+
+
 def solve_band_chol(bl: BandCholLayout, vals, b):
     """Jittable: symmetric-Jacobi-scaled banded Cholesky solve of the
     triplet system (vals aligned with the SystemLayout that built ``bl``)."""
@@ -300,12 +482,20 @@ def solve_band_chol(bl: BandCholLayout, vals, b):
         bp = jnp.concatenate([bp, jnp.zeros(npad - n, dtype)])
         bp = (bp * dinv_p).reshape(nb, kb)
 
+        inv = SUBSTITUTE_MODE == "inv"
         if nb <= UNROLL_MAX_NB:
             lds, lps = _factorize_unrolled(r_blocks)
-            xs = _substitute_unrolled(lds, lps, bp)
+            if inv:
+                xs = _substitute_inv_unrolled(
+                    _invert_factors_unrolled(lds), lps, bp)
+            else:
+                xs = _substitute_unrolled(lds, lps, bp)
         else:
             lds, lps = _factorize(r_blocks)
-            xs = band_substitute(lds, lps, bp)
+            if inv:
+                xs = band_substitute_inv(_invert_factors(lds), lps, bp)
+            else:
+                xs = band_substitute(lds, lps, bp)
 
     y = xs.reshape(-1)[:npad] * dinv_p
     return y[jnp.asarray(bl.inv_perm)]

@@ -124,20 +124,23 @@ def test_cr_every_chain_length(nb):
 
 @pytest.mark.slow  # ~5 s: bitwise parity of the alternate scatter plan
 def test_band_scatter_modes_identical():
-    """The sorted segment-sum + unique-set scatter plan must produce the
-    exact block-row buffer of the plain scatter-add (the flippable
-    BAND_SCATTER_MODE TPU optimization)."""
+    """Every band-assembly plan (sorted segment-sum + unique-set, and the
+    node-block row-strip pipeline) must produce the exact block-row
+    buffer of the plain scatter-add (the flippable BAND_SCATTER_MODE
+    TPU optimization)."""
     from rustrobotics_tpu.ops import band_chol as bc
 
     g = synthetic_corridor_graph_2d(num_poses=96, closure_span=16,
                                     dtype=jnp.float64)
     _, bl, vals, b = _system(g)
-    r_add, d_add = bc._prepare_blocks(bl, vals)
     old = bc.BAND_SCATTER_MODE
     try:
-        bc.BAND_SCATTER_MODE = "sorted"
-        r_sorted, d_sorted = bc._prepare_blocks(bl, vals)
+        bc.BAND_SCATTER_MODE = "add"
+        r_add, d_add = bc._prepare_blocks(bl, vals)
+        for mode in ("sorted", "strips"):
+            bc.BAND_SCATTER_MODE = mode
+            r_m, d_m = bc._prepare_blocks(bl, vals)
+            np.testing.assert_array_equal(np.asarray(r_m), np.asarray(r_add))
+            np.testing.assert_array_equal(np.asarray(d_m), np.asarray(d_add))
     finally:
         bc.BAND_SCATTER_MODE = old
-    np.testing.assert_array_equal(np.asarray(r_sorted), np.asarray(r_add))
-    np.testing.assert_array_equal(np.asarray(d_sorted), np.asarray(d_add))

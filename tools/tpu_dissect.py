@@ -86,15 +86,28 @@ def main():
                     with jax.default_matmul_precision("highest"):
                         r_blocks, dinv_p = bc._prepare_blocks(bl, vals)
                     acc = acc + r_blocks[0, 0, kb]
+                inv = bc.SUBSTITUTE_MODE == "inv" and not args.cr
                 if level >= 3:
                     with jax.default_matmul_precision("highest"):
                         if args.cr:
                             fac = bc.cr_factorize(r_blocks)
                         elif unrolled:
-                            fac = bc._factorize_unrolled(r_blocks)
+                            lds, lps = bc._factorize_unrolled(r_blocks)
+                            if inv:
+                                lds = bc._invert_factors_unrolled(lds)
+                            fac = (lds, lps)
                         else:
-                            fac = bc._factorize(r_blocks)
-                    acc = acc + jax.tree.leaves(fac)[0].ravel()[0]
+                            lds, lps = bc._factorize(r_blocks)
+                            if inv:
+                                lds = bc._invert_factors(lds)
+                            fac = (lds, lps)
+                    # depend on BOTH ends of the chain: the first leaf
+                    # alone lets XLA dead-code-eliminate every later
+                    # stage (observed: factor_delta ~0 while the full
+                    # factorization hid inside substitute_delta)
+                    leaves = jax.tree.leaves(fac)
+                    acc = acc + sum(l.ravel()[0] + l.ravel()[-1]
+                                    for l in leaves)
                 if level >= 4:
                     bp = b[perm]
                     bp = jnp.concatenate(
@@ -103,8 +116,12 @@ def main():
                     with jax.default_matmul_precision("highest"):
                         if args.cr:
                             xs = bc.cr_substitute(*fac, bp)
+                        elif unrolled and inv:
+                            xs = bc._substitute_inv_unrolled(*fac, bp)
                         elif unrolled:
                             xs = bc._substitute_unrolled(*fac, bp)
+                        elif inv:
+                            xs = bc.band_substitute_inv(*fac, bp)
                         else:
                             xs = bc.band_substitute(*fac, bp)
                     y = xs.reshape(-1)[:npad] * dinv_p
