@@ -125,7 +125,7 @@ def _pallas_ok():
     return _PALLAS_OK
 
 
-def _pallas_preflight_ok(timeout_s=300):
+def _pallas_preflight_ok(timeout_s=600):
     import subprocess
 
     code = (
@@ -395,6 +395,14 @@ def main():
     iters_per_sec = iters / device_s
     extra = _roofline_extra(graph, device_s, iters, backend, timed)
     extra["dispatch_rtt_ms"] = _rtt_extra()
+    # Device-side estimate: the wall time of one call includes exactly one
+    # host->device sync, whose cost on the axon tunnel flaps between
+    # ~30 us and ~25 ms (TPU_STATUS_r04.md). The headline keeps the raw
+    # wall convention (comparable across rounds); this row removes the
+    # tunnel artifact so the chip's own rate is visible either way.
+    dev_s = device_s - extra["dispatch_rtt_ms"] / 1e3
+    if 0 < dev_s < device_s:
+        extra["iters_per_sec_device_est"] = round(iters / dev_s, 1)
     extra.update(_scaling_extra())
     extra.update(_suite_extra(_TPU_OK))
     print(
