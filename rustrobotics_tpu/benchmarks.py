@@ -117,6 +117,36 @@ def bench_filter_updates(results):
             "value": round(BATCH * steps / t / 1e6, 3), "unit": "Mupdates/s",
         })
 
+    # banked (lane-major) EKF: fleet axis on the TPU vector lanes — the
+    # (B, 4, 4) vmap layout pads each 4x4 into an (8, 128) tile (~64x
+    # traffic) and saturates at ~1.4 Mupdates/s flat in B; the banked
+    # layout measured 14.3 Mupdates/s at B=262144 on the v5e
+    # (localization/banked.py; parity pinned in tests/test_banked.py)
+    from rustrobotics_tpu.localization.banked import simple_problem_banked
+
+    q = jnp.diag(jnp.array([0.1, 0.1, jnp.deg2rad(1.0), 1.0])) ** 2
+    r = jnp.diag(jnp.array([1.0, 1.0])) ** 2
+    banked = simple_problem_banked(q=q, r=r)
+    bb = BATCH * 16
+    steps = 100
+    ub = jnp.broadcast_to(u[:, None], (2, bb))
+    zb = jnp.broadcast_to(z[:, None], (2, bb))
+
+    @jax.jit
+    def chained_banked(x, cov):
+        def body(c, _):
+            return banked.step(c[0], c[1], ub, zb, dt), None
+        return jax.lax.scan(body, (x, cov), None, length=steps)[0]
+
+    x0 = jnp.zeros((4, bb))
+    cov0 = jnp.broadcast_to(jnp.eye(4)[:, :, None], (4, 4, bb))
+    t = _bench(chained_banked, x0, cov0, repeats=4)
+    results.append({
+        "metric": "ekf_banked_update_throughput",
+        "value": round(bb * steps / t / 1e6, 3), "unit": "Mupdates/s",
+        "bank": bb,
+    })
+
 
 def bench_pf_update(results):
     from rustrobotics_tpu.localization.simulation import run_simulation_jit
