@@ -147,6 +147,35 @@ def bench_filter_updates(results):
         "bank": bb,
     })
 
+    # banked UKF: sigma axis folded into the bank, unrolled lane-major
+    # Cholesky (localization/banked.py BankedUKF; parity in
+    # tests/test_banked.py). The vmapped (B, 4, 4) UKF is the slowest
+    # filter row — 9 sigma evaluations per step through the padded
+    # layout — so this is where the banked layout pays most.
+    from rustrobotics_tpu.localization.banked import simple_problem_banked_ukf
+
+    bukf = simple_problem_banked_ukf(q=q, r=r, alpha=0.001, beta=2.0,
+                                     kappa=0.0)
+    bu_ukf = bb // 2  # 9x sigma fan-out: halve the bank to bound memory
+
+    ub2 = jnp.broadcast_to(u[:, None], (2, bu_ukf))
+    zb2 = jnp.broadcast_to(z[:, None], (2, bu_ukf))
+
+    @jax.jit
+    def chained_banked_ukf(x, cov):
+        def body(c, _):
+            return bukf.step(c[0], c[1], ub2, zb2, dt), None
+        return jax.lax.scan(body, (x, cov), None, length=steps)[0]
+
+    x0u = jnp.zeros((4, bu_ukf))
+    cov0u = jnp.broadcast_to(jnp.eye(4)[:, :, None], (4, 4, bu_ukf))
+    t = _bench(chained_banked_ukf, x0u, cov0u, repeats=4)
+    results.append({
+        "metric": "ukf_banked_update_throughput",
+        "value": round(bu_ukf * steps / t / 1e6, 3), "unit": "Mupdates/s",
+        "bank": bu_ukf,
+    })
+
 
 def bench_pf_update(results):
     from rustrobotics_tpu.localization.simulation import run_simulation_jit

@@ -15,8 +15,13 @@ and every matrix product is a fully-dense elementwise/FMA sweep
 (``einsum "ijb,jkb->ikb"``). Same math, same results, 10x the
 throughput: 14.3 Mupdates/s at B = 262144 on the v5e.
 
-Innovation inverses use closed-form adjugates (M <= 3), keeping the
-whole step free of ``jnp.linalg`` batch-leading-layout requirements.
+Innovation inverses use closed-form adjugates (M <= 3), and the UKF's
+covariance square root is an unrolled lane-major Cholesky (``bchol``),
+keeping the whole step free of ``jnp.linalg`` batch-leading-layout
+requirements. Measured on the v5e (B = 128k-256k, 100-step scan):
+banked EKF 14.3 Mupdates/s (vs 1.4 vmapped), banked UKF 5.5 Mupdates/s
+(vs 0.64 vmapped) — 8-10x from layout alone, same math (parity pinned
+in tests/test_banked.py).
 """
 
 from __future__ import annotations
@@ -113,19 +118,138 @@ class BankedEKF:
         return x_new, cov_new
 
 
+def bchol(a):
+    """Banked lower Cholesky of (D,D,B) SPD stacks, D small & static.
+
+    Unrolled Cholesky-Crout: D(D+1)/2 elementwise sqrt/div/FMA sweeps
+    over the lane axis — no ``jnp.linalg`` (which would force the bank
+    to the leading axis and re-pad every (D, D) into an (8, 128) tile).
+    """
+    d = a.shape[0]
+    l = [[None] * d for _ in range(d)]
+    for j in range(d):
+        s = a[j, j] - sum((l[j][k] * l[j][k] for k in range(j)),
+                          jnp.zeros_like(a[0, 0]))
+        l[j][j] = jnp.sqrt(s)
+        inv_ljj = 1.0 / l[j][j]
+        for i in range(j + 1, d):
+            s = a[i, j] - sum((l[i][k] * l[j][k] for k in range(j)),
+                              jnp.zeros_like(a[0, 0]))
+            l[i][j] = s * inv_ljj
+    zero = jnp.zeros_like(a[0, 0])
+    return jnp.stack([
+        jnp.stack([l[i][j] if j <= i else zero for j in range(d)])
+        for i in range(d)
+    ])
+
+
+@dataclasses.dataclass(frozen=True)
+class BankedUKF:
+    """Scaled-sigma-point UKF over a bank of B filters, bank on lanes.
+
+    Same math as ``localization.ukf.UnscentedKalmanFilter`` (reference
+    unscented_kalman_filter.rs:11-186) — scaled sigma points via a
+    banked unrolled Cholesky, fresh points around the prediction for
+    the update (ukf.rs:144) — but every per-point model evaluation runs
+    with the sigma axis FOLDED INTO THE BANK: the (2D+1, D, B) cloud is
+    reshaped to (D, (2D+1)·B) so the model callbacks see one wide lane
+    sweep, and the weighted moments are einsums over the sigma axis.
+
+    Model callbacks follow the banked contract (batch LAST):
+      predict(x (D,Bf), u (U,Bf), dt) -> (D,Bf)
+      measure(x (D,Bf))               -> (M,Bf)
+    """
+
+    predict: Callable
+    measure: Callable
+    q: jnp.ndarray  # (D, D) process noise
+    r: jnp.ndarray  # (M, M) measurement noise
+    mw: jnp.ndarray  # (2D+1,) mean weights
+    cw: jnp.ndarray  # (2D+1,) cov weights
+    gamma: float
+
+    @classmethod
+    def create(cls, predict, measure, q, r,
+               alpha=0.001, beta=2.0, kappa=0.0):
+        from rustrobotics_tpu.localization.ukf import sigma_weights
+
+        q = jnp.asarray(q)
+        mw, cw, gamma = sigma_weights(q.shape[-1], alpha, beta, kappa)
+        return cls(predict=predict, measure=measure, q=q, r=jnp.asarray(r),
+                   mw=mw.astype(q.dtype), cw=cw.astype(q.dtype),
+                   gamma=float(gamma))
+
+    def _sigma(self, x, cov):
+        """(D,B),(D,D,B) -> (2D+1, D, B): [x, x+gamma*L_j, x-gamma*L_j]."""
+        cols = bt(bchol(cov)) * self.gamma  # row j = gamma * L[:, j]
+        return jnp.concatenate(
+            [x[None], x[None] + cols, x[None] - cols], axis=0)
+
+    def step(self, x, cov, u, z, dt):
+        """One predict+update across the bank. x (D,B), cov (D,D,B),
+        u (U,B), z (M,B) -> (x', cov')."""
+        d, b = x.shape
+        k = 2 * d + 1
+        q = self.q if self.q.ndim == 3 else self.q[:, :, None]
+        r = self.r if self.r.ndim == 3 else self.r[:, :, None]
+
+        def fold(sp):  # (K, D', B) -> (D', K*B): sigma axis into the bank
+            return sp.transpose(1, 0, 2).reshape(sp.shape[1], k * b)
+
+        def unfold(y):  # (D', K*B) -> (K, D', B)
+            return y.reshape(y.shape[0], k, b).transpose(1, 0, 2)
+
+        # predict
+        sp = self._sigma(x, cov)
+        uf = jnp.broadcast_to(u[:, None], (u.shape[0], k, b)).reshape(
+            u.shape[0], k * b)
+        sp_pred = unfold(self.predict(fold(sp), uf, dt))
+        mean_pred = jnp.einsum("k,kib->ib", self.mw, sp_pred)
+        dxp = sp_pred - mean_pred[None]
+        cov_pred = jnp.einsum("k,kib,kjb->ijb", self.cw, dxp, dxp) + q
+
+        # update (fresh sigma points around the prediction, ukf.rs:144)
+        sp2 = self._sigma(mean_pred, cov_pred)
+        sp_z = unfold(self.measure(fold(sp2)))
+        mean_z = jnp.einsum("k,kib->ib", self.mw, sp_z)
+        dz = sp_z - mean_z[None]
+        cov_z = jnp.einsum("k,kib,kjb->ijb", self.cw, dz, dz) + r
+        dx2 = sp2 - mean_pred[None]
+        cross = jnp.einsum("k,kib,kjb->ijb", self.cw, dx2, dz)
+
+        gain = bmm(cross, binv(cov_z))
+        x_new = mean_pred + bmv(gain, z - mean_z)
+        cov_new = cov_pred - bmm(gain, bmm(cov_z, bt(gain)))
+        return x_new, cov_new
+
+
+def _sp_predict(x, u, dt):
+    """SimpleProblem banked prediction (reference motion.rs:197-238)."""
+    px, py, yaw, v = x
+    return jnp.stack([
+        px + v * jnp.cos(yaw) * dt,
+        py + v * jnp.sin(yaw) * dt,
+        yaw + u[1] * dt,
+        u[0],
+    ])
+
+
+def _sp_measure(x):
+    """GPS-like (x, y) observation (reference measurement.rs:68-89)."""
+    return x[:2]
+
+
+def simple_problem_banked_ukf(q, r, alpha=0.001, beta=2.0, kappa=0.0):
+    """Banked UKF for the SimpleProblem model — the lane-major analog of
+    ``UnscentedKalmanFilter.create(...)`` on SimpleProblem models."""
+    return BankedUKF.create(predict=_sp_predict, measure=_sp_measure,
+                            q=q, r=r, alpha=alpha, beta=beta, kappa=kappa)
+
+
 def simple_problem_banked(q, r, dt_default=0.1):
     """Banked EKF for the SimpleProblem 4-state [x, y, yaw, v] model
     (reference motion.rs:197-238 / measurement.rs:68-89): constant-
     velocity unicycle prediction, GPS-like (x, y) observation."""
-
-    def predict(x, u, dt):
-        px, py, yaw, v = x
-        return jnp.stack([
-            px + v * jnp.cos(yaw) * dt,
-            py + v * jnp.sin(yaw) * dt,
-            yaw + u[1] * dt,
-            u[0],
-        ])
 
     def jac_x(x, u, dt):
         yaw = x[2]
@@ -140,13 +264,10 @@ def simple_problem_banked(q, r, dt_default=0.1):
             jnp.stack([zz, zz, zz, zz]),
         ])
 
-    def measure(x):
-        return x[:2]
-
     def jac_z(x):
         b = x.shape[1]
         h = jnp.zeros((2, 4), x.dtype).at[0, 0].set(1.0).at[1, 1].set(1.0)
         return jnp.broadcast_to(h[:, :, None], (2, 4, b))
 
-    return BankedEKF(predict=predict, jac_x=jac_x, measure=measure,
+    return BankedEKF(predict=_sp_predict, jac_x=jac_x, measure=_sp_measure,
                      jac_z=jac_z, q=q, r=r)

@@ -78,3 +78,53 @@ def test_banked_chain_converges():
     np.testing.assert_allclose(np.asarray(xn[:, 3]), np.asarray(state.x),
                                rtol=1e-8, atol=1e-8)
     assert bool(jnp.all(jnp.isfinite(covn)))
+
+
+def test_banked_ukf_matches_vmapped_reference_layout():
+    """Banked UKF == vmapped standard UKF (f64 parity). The banked step
+    folds the sigma axis into the bank and runs an unrolled lane-major
+    Cholesky; the contract is agreement with the reference-layout UKF
+    (unscented_kalman_filter.rs:11-186 analog) to f64 roundoff."""
+    from rustrobotics_tpu.localization.banked import simple_problem_banked_ukf
+
+    _, ukf = _filters()
+    q = jnp.diag(jnp.array([0.1, 0.1, jnp.deg2rad(1.0), 1.0])) ** 2
+    r = jnp.diag(jnp.array([1.0, 1.0])) ** 2
+    banked = simple_problem_banked_ukf(q=q, r=r,
+                                       alpha=0.001, beta=2.0, kappa=0.0)
+
+    rng = np.random.default_rng(1)
+    B = 64
+    x0 = rng.standard_normal((B, 4))
+    u = rng.standard_normal((B, 2)) * jnp.array([1.0, 0.3])
+    z = rng.standard_normal((B, 2))
+    cov0 = np.broadcast_to(np.eye(4), (B, 4, 4)) + 0.1 * np.einsum(
+        "bi,bj->bij", x0, x0)
+    dt = 0.1
+
+    state = GaussianState(x=jnp.asarray(x0), cov=jnp.asarray(cov0))
+    vstep = jax.vmap(ukf.step, in_axes=(0, 0, 0, None))
+    ref = vstep(state, jnp.asarray(u), jnp.asarray(z), dt)
+
+    xb, covb = banked.step(
+        jnp.asarray(x0.T), jnp.asarray(cov0.transpose(1, 2, 0)),
+        jnp.asarray(u.T), jnp.asarray(z.T), dt)
+
+    np.testing.assert_allclose(np.asarray(xb).T, np.asarray(ref.x),
+                               rtol=1e-8, atol=1e-8)
+    np.testing.assert_allclose(
+        np.asarray(covb).transpose(2, 0, 1), np.asarray(ref.cov),
+        rtol=1e-7, atol=1e-8)
+
+
+def test_banked_chol_matches_linalg():
+    from rustrobotics_tpu.localization.banked import bchol
+
+    rng = np.random.default_rng(2)
+    B, D = 32, 4
+    a = rng.standard_normal((B, D, D))
+    spd = np.einsum("bij,bkj->bik", a, a) + 4.0 * np.eye(D)
+    ref = np.linalg.cholesky(spd)
+    got = bchol(jnp.asarray(spd.transpose(1, 2, 0)))
+    np.testing.assert_allclose(np.asarray(got).transpose(2, 0, 1), ref,
+                               rtol=1e-10, atol=1e-12)
