@@ -16,9 +16,12 @@ from rustrobotics_tpu.localization.ukf import (  # noqa: F401
     UnscentedKalmanFilterKnownCorrespondences,
 )
 from rustrobotics_tpu.localization.pf import (  # noqa: F401
+    AdaptiveParticleFilter,
     ParticleFilter,
     ParticleFilterKnownCorrespondences,
+    effective_sample_size,
     gaussian_estimate,
+    weighted_gaussian_estimate,
     resample_multinomial,
     resample_stratified,
     resample_systematic,
