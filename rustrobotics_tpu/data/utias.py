@@ -99,7 +99,10 @@ class UtiasDataset:
 
         m_max = max_measurements_per_event
         if m_max is None:
-            m_max = max((g[2] - g[1]) for _, _, g in events if g) if events else 1
+            # default=1: a short prefix can be all-odometry (no
+            # measurement groups at all) — keep one masked slot
+            m_max = max(((g[2] - g[1]) for _, _, g in events if g),
+                        default=1)
 
         t_len = len(events)
         times = np.zeros(t_len)

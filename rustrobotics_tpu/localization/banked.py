@@ -27,8 +27,9 @@ in tests/test_banked.py).
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable
+from typing import Any, Callable
 
+import jax
 import jax.numpy as jnp
 
 
@@ -221,6 +222,195 @@ class BankedUKF:
         x_new = mean_pred + bmv(gain, z - mean_z)
         cov_new = cov_pred - bmm(gain, bmm(cov_z, bt(gain)))
         return x_new, cov_new
+
+
+@dataclasses.dataclass(frozen=True)
+class BankedEKFKC:
+    """Banked EKF with known correspondences: the product (lane-major)
+    variant of ``ExtendedKalmanFilterKnownCorrespondences``
+    (reference extended_kalman_filter.rs:81-165) for a FLEET of B
+    filters — predict with the input-Jacobian form
+    ``G cov G^T + V M V^T`` (ekf.rs:134-141), then sequential masked
+    per-landmark Joseph-form updates, everything with the bank on the
+    trailing (lane) axis: x ``(D, B)``, cov ``(D, D, B)``.
+
+    Model callbacks follow the banked contract (batch LAST):
+      predict(x (D,B), u (U,B), dt)  -> (D,B)
+      jac_x(x (D,B), u (U,B), dt)    -> (D,D,B)
+      jac_u(x (D,B), u (U,B), dt)    -> (D,U,B)
+      noise_ctrl(u (U,B))            -> (U,U,B) control-space noise M
+      measure(x (D,B), lm (L,))      -> (Z,B)
+      jac_z(x (D,B), lm (L,))        -> (Z,D,B)
+    ``q`` (Z,Z) measurement noise; ``wrap_components``: innovation
+    components that are angles (wrapped to [-pi, pi]).
+    """
+
+    predict: Callable
+    jac_x: Callable
+    jac_u: Callable
+    noise_ctrl: Callable
+    measure: Callable
+    jac_z: Callable
+    q: jnp.ndarray
+    landmarks: Any  # LandmarkTable
+    wrap_components: tuple = (1,)
+
+    def predict_step(self, x, cov, u, dt):
+        g = self.jac_x(x, u, dt)
+        v = self.jac_u(x, u, dt)
+        m = self.noise_ctrl(u)
+        x_pred = self.predict(x, u, dt)
+        cov_pred = bmm(bmm(g, cov), bt(g)) + bmm(bmm(v, m), bt(v))
+        return x_pred, cov_pred
+
+    def _update_one(self, x, cov, lm, z, ok):
+        """One landmark's masked Joseph-form update across the bank.
+        z: (Z, B); ok: scalar/(B,) validity; lm: (L,) shared landmark."""
+        from rustrobotics_tpu.utils.angles import wrap_angle
+
+        dtype = x.dtype
+        q = self.q.astype(dtype)
+        qb = q[:, :, None]
+        z_pred = self.measure(x, lm)
+        h = self.jac_z(x, lm)
+        innov = z - z_pred
+        for c in self.wrap_components:
+            innov = innov.at[c].set(wrap_angle(innov[c]))
+        s = bmm(bmm(h, cov), bt(h)) + qb
+        k = bmm(bmm(cov, bt(h)), binv(s))
+        x_new = x + bmv(k, innov)
+        # Joseph form (PSD-preserving in f32 — see ekf._kalman_update)
+        d = x.shape[0]
+        eye = jnp.eye(d, dtype=dtype)[:, :, None]
+        ikh = eye - bmm(k, h)
+        cov_new = bmm(bmm(ikh, cov), bt(ikh)) + bmm(bmm(k, qb), bt(k))
+        x = jnp.where(ok, x_new, x)
+        cov = jnp.where(ok, cov_new, cov)
+        return x, cov
+
+    def update(self, x, cov, ids, z, mask):
+        """Sequential masked updates over the event's measurement slots
+        (matching the reference's in-loop covariance refinement,
+        ekf.rs:144-159). ids (M,) shared across the bank; z (M, Z) shared
+        or (M, Z, B) banked; mask (M,) slot validity."""
+        lms, valid = self.landmarks.lookup(ids)
+        valid = jnp.logical_and(valid, mask)
+        if z.ndim == 2:
+            z = jnp.broadcast_to(z[:, :, None],
+                                 z.shape + (x.shape[-1],))
+
+        def body(carry, inp):
+            xc, cc = carry
+            lm, zi, ok = inp
+            return self._update_one(xc, cc, lm, zi, ok), None
+
+        (x, cov), _ = jax.lax.scan(body, (x, cov), (lms, z, valid))
+        return x, cov
+
+    def step(self, x, cov, u, has_control, ids, z, mask, dt):
+        """One merged event across the bank (control optional via
+        ``has_control``, matching the UTIAS event stream)."""
+        x_pred, cov_pred = self.predict_step(x, cov, u, dt)
+        x = jnp.where(has_control, x_pred, x)
+        cov = jnp.where(has_control, cov_pred, cov)
+        return self.update(x, cov, ids, z, mask)
+
+
+def velocity_banked_ekf_kc(alpha, q, landmarks):
+    """Banked EKF-KC on the velocity motion model + range-bearing
+    measurement — the fleet (lane-major) analog of ``build_filter``'s
+    EKF path in ``landmark_replay`` (reference
+    localization_landmarks.rs:31-73). ``alpha`` (6,) noise coefficients,
+    ``q`` (2,2) measurement noise, ``landmarks`` a LandmarkTable.
+
+    Parity with the vmapped ``ExtendedKalmanFilterKnownCorrespondences``
+    is pinned in tests/test_banked.py (f64)."""
+    from rustrobotics_tpu.utils.angles import wrap_angle
+
+    a = jnp.asarray(alpha)
+    eps_w = 1e-10  # straight-line branch threshold (models.motion)
+    eps_m = 1e-5   # control-noise floor (motion.rs:124-134)
+
+    def predict(x, u, dt):
+        px, py, th = x
+        v, w = u
+        straight = jnp.abs(w) < eps_w
+        ws = jnp.where(straight, 1.0, w)
+        arc_dx = v / ws * (-jnp.sin(th) + jnp.sin(th + w * dt))
+        arc_dy = v / ws * (jnp.cos(th) - jnp.cos(th + w * dt))
+        dx = jnp.where(straight, v * jnp.cos(th) * dt, arc_dx)
+        dy = jnp.where(straight, v * jnp.sin(th) * dt, arc_dy)
+        return jnp.stack([px + dx, py + dy, wrap_angle(th + w * dt)])
+
+    def jac_x(x, u, dt):
+        th = x[2]
+        v, w = u
+        straight = jnp.abs(w) < eps_w
+        ws = jnp.where(straight, 1.0, w)
+        j02 = jnp.where(straight, -v * jnp.sin(th) * dt,
+                        v / ws * (-jnp.cos(th) + jnp.cos(th + w * dt)))
+        j12 = jnp.where(straight, v * jnp.cos(th) * dt,
+                        v / ws * (-jnp.sin(th) + jnp.sin(th + w * dt)))
+        zz = jnp.zeros_like(th)
+        oo = jnp.ones_like(th)
+        return jnp.stack([
+            jnp.stack([oo, zz, j02]),
+            jnp.stack([zz, oo, j12]),
+            jnp.stack([zz, zz, oo]),
+        ])
+
+    def jac_u(x, u, dt):
+        th = x[2]
+        v, w = u
+        straight = jnp.abs(w) < eps_w
+        ws = jnp.where(straight, 1.0, w)
+        sint, cost = jnp.sin(th), jnp.cos(th)
+        sintdt, costdt = jnp.sin(th + w * dt), jnp.cos(th + w * dt)
+        w2 = ws * ws
+        j00 = jnp.where(straight, cost * dt, (-sint + sintdt) / ws)
+        j10 = jnp.where(straight, sint * dt, (cost - costdt) / ws)
+        j01 = jnp.where(straight, 0.0,
+                        v * ((sint - sintdt) / w2 + costdt * dt / ws))
+        j11 = jnp.where(straight, 0.0,
+                        v * (-(cost - costdt) / w2 + sintdt * dt / ws))
+        zz = jnp.zeros_like(th)
+        dt_b = jnp.broadcast_to(jnp.asarray(dt, x.dtype), th.shape)
+        return jnp.stack([
+            jnp.stack([j00, j01]),
+            jnp.stack([j10, j11]),
+            jnp.stack([zz, dt_b]),
+        ])
+
+    def noise_ctrl(u):
+        v2 = jnp.square(u[0])
+        w2 = jnp.square(u[1])
+        d0 = a[0] * v2 + a[1] * w2 + eps_m
+        d1 = a[2] * v2 + a[3] * w2 + eps_m
+        zz = jnp.zeros_like(d0)
+        return jnp.stack([jnp.stack([d0, zz]), jnp.stack([zz, d1])])
+
+    def rb_measure(x, lm):
+        dx = lm[0] - x[0]
+        dy = lm[1] - x[1]
+        qq = dx * dx + dy * dy
+        return jnp.stack([jnp.sqrt(qq), jnp.arctan2(dy, dx) - x[2]])
+
+    def rb_jac(x, lm):
+        dx = lm[0] - x[0]
+        dy = lm[1] - x[1]
+        qq = dx * dx + dy * dy
+        qs = jnp.sqrt(qq)
+        zz = jnp.zeros_like(dx)
+        mone = -jnp.ones_like(dx)
+        return jnp.stack([
+            jnp.stack([-dx / qs, -dy / qs, zz]),
+            jnp.stack([dy / qq, -dx / qq, mone]),
+        ])
+
+    return BankedEKFKC(predict=predict, jac_x=jac_x, jac_u=jac_u,
+                       noise_ctrl=noise_ctrl, measure=rb_measure,
+                       jac_z=rb_jac, q=jnp.asarray(q), landmarks=landmarks,
+                       wrap_components=(1,))
 
 
 def _sp_predict(x, u, dt):

@@ -143,6 +143,78 @@ def run_utias_localization(
     return np.asarray(events.times), states
 
 
+def build_banked_filter(dataset: UtiasDataset, dtype=jnp.float32):
+    """Banked (lane-major) EKF-KC with the SAME noise settings as
+    ``build_filter``'s EKF path (reference ll.rs:37-43) — the fleet
+    entry point: B filters advance per jitted step with the bank on the
+    TPU vector lanes (see localization/banked.py for why this is ~10x
+    the vmapped layout's throughput)."""
+    from rustrobotics_tpu.localization.banked import velocity_banked_ekf_kc
+
+    landmarks = LandmarkTable.create(
+        ids=dataset.landmark_ids,
+        positions=np.concatenate(
+            [dataset.landmarks[:, :2], np.zeros((len(dataset.landmarks), 1))],
+            axis=1,
+        ).astype(np.dtype(dtype)),
+    )
+    alpha = jnp.asarray([1.0, 1.0, 30.0, 30.0, 10.0, 10.0], dtype=dtype)
+    q = jnp.diag(jnp.asarray([0.1, 0.2], dtype=dtype))
+    return velocity_banked_ekf_kc(alpha, q, landmarks)
+
+
+def _replay_banked(filt, x0, cov0, control, hc, ids, z, mask, dt):
+    """Whole fleet replay as ONE jitted scan: every event advances all B
+    filters; estimates come back as (T, 3, B). ``filt`` (plain dataclass
+    of callbacks, not a pytree) is closed over — jit caches per filter
+    object, which the fleet entry point constructs once."""
+
+    @jax.jit
+    def run(x0, cov0, control, hc, ids, z, mask, dt):
+        def step(carry, ev):
+            x, cov = carry
+            u, hci, idsi, zi, maski, dti = ev
+            ub = jnp.broadcast_to(u[:, None], (u.shape[0], x.shape[-1]))
+            x, cov = filt.step(x, cov, ub, hci, idsi, zi, maski, dti)
+            return (x, cov), x
+
+        return jax.lax.scan(step, (x0, cov0),
+                            (control, hc, ids, z, mask, dt))[1]
+
+    return run(x0, cov0, control, hc, ids, z, mask, dt)
+
+
+def run_utias_localization_fleet(
+    dataset: UtiasDataset,
+    bank: int = 1024,
+    max_events: int = 10000,
+    seed: int = 0,
+    spread: float = 0.1,
+    dtype=jnp.float32,
+):
+    """Fleet replay: B banked EKF-KC filters consume the same UTIAS event
+    stream from perturbed initial states (Monte-Carlo over
+    initialization — the fleet-serving scenario). Returns
+    (times (T,), xs (T, 3, B)). The per-event cost is ONE lane-parallel
+    banked step for the whole fleet — the capability the reference's
+    one-filter-object architecture (ekf.rs:81-165) runs B times."""
+    filt = build_banked_filter(dataset, dtype)
+    events = dataset.events(max_events=max_events, dtype=dtype)
+    gt0 = dataset.groundtruth[0]
+    x0 = jnp.asarray(gt0[1:4], dtype=dtype)
+    dt = events.dt.at[0].set(events.times[0])
+
+    key = jax.random.key(seed)
+    x0b = x0[:, None] + spread * jax.random.normal(key, (3, bank), dtype)
+    cov0 = jnp.broadcast_to(
+        (jnp.eye(3, dtype=dtype) * 1e-10)[:, :, None], (3, 3, bank))
+    xs = _replay_banked(
+        filt, x0b, cov0, events.control, events.has_control,
+        events.meas_ids, events.meas_z, events.meas_mask, dt,
+    )
+    return np.asarray(events.times), xs
+
+
 def ate_vs_groundtruth(dataset: UtiasDataset, times, states) -> float:
     """RMSE of estimated xy against time-interpolated groundtruth."""
     gt = dataset.groundtruth

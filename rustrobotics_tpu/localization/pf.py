@@ -165,9 +165,10 @@ class AdaptiveParticleFilter:
     scan, so a no-resample step costs only the dense math.
 
     Statistically this is textbook adaptive SIR (ESS criterion); with
-    ``ess_frac >= 1`` every step resamples and the trajectory is
+    ``ess_frac > 1`` every step resamples and the trajectory is
     bit-identical to ``ParticleFilter`` under the same keys (pinned in
-    tests/test_pf_adaptive.py).
+    tests/test_pf_adaptive.py). (Exactly 1.0 is not enough: uniform
+    weights give ESS == N and the gate is strict.)
 
     ``step`` carries ``(particles, logw)``; read the posterior with
     ``weighted_gaussian_estimate``.
@@ -193,7 +194,14 @@ class AdaptiveParticleFilter:
         )
         z_pred = self.measurement_model.prediction(pred)
         logw = logw + meas_noise.logpdf(z - z_pred)
-        logw = logw - jnp.max(logw)  # shift so exp() never overflows
+        # shift so exp() never overflows — NaN-safe: when every particle's
+        # log-likelihood underflowed to -inf, max(logw) = -inf and the
+        # shift would turn the whole vector NaN (and a NaN ESS would then
+        # skip the resample forever). Shifting by 0 instead leaves -inf
+        # weights, the ESS gate below triggers, and the systematic
+        # resampler's zero-sum fallback recovers with a uniform pick.
+        m = jnp.max(logw)
+        logw = logw - jnp.where(jnp.isfinite(m), m, 0.0)
 
         n = particles.shape[0]
 
@@ -207,8 +215,11 @@ class AdaptiveParticleFilter:
             return p, lw, jnp.int32(0)
 
         ess = effective_sample_size(logw)
+        # inverted predicate: a NaN ESS must fall into the RESAMPLE branch
+        # (NaN >= x is False), where the resampler's fallback can recover
         return jax.lax.cond(
-            ess < self.ess_frac * n, do_resample, keep, (pred, logw)
+            jnp.logical_not(ess >= self.ess_frac * n),
+            do_resample, keep, (pred, logw)
         )
 
 

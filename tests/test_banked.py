@@ -128,3 +128,69 @@ def test_banked_chol_matches_linalg():
     got = bchol(jnp.asarray(spd.transpose(1, 2, 0)))
     np.testing.assert_allclose(np.asarray(got).transpose(2, 0, 1), ref,
                                rtol=1e-10, atol=1e-12)
+
+
+def test_banked_ekf_kc_matches_sequential_reference_layout():
+    """Banked velocity-EKF-KC == the standard (per-filter) KC filter
+    (reference extended_kalman_filter.rs:81-165 analog) in f64, across a
+    bank of distinct states, over a multi-event stream with optional
+    controls and masked/unknown landmark slots."""
+    from rustrobotics_tpu.localization.banked import velocity_banked_ekf_kc
+    from rustrobotics_tpu.localization.ekf import (
+        ExtendedKalmanFilterKnownCorrespondences,
+    )
+    from rustrobotics_tpu.localization.landmark_table import LandmarkTable
+    from rustrobotics_tpu.models import (
+        RangeBearingMeasurementModel,
+        VelocityMotionModel,
+    )
+
+    rng = np.random.default_rng(3)
+    K = 5
+    lm_ids = np.array([2, 5, 7, 11, 13], np.int32)
+    lm_pos = rng.uniform(-4, 4, (K, 3))
+    table = LandmarkTable.create(ids=lm_ids, positions=lm_pos)
+    alpha = jnp.asarray([1.0, 1.0, 30.0, 30.0, 10.0, 10.0])
+    q = jnp.diag(jnp.asarray([0.1, 0.2]))
+
+    banked = velocity_banked_ekf_kc(alpha, q, table)
+    ref_filt = ExtendedKalmanFilterKnownCorrespondences(
+        q=q, landmarks=table,
+        motion_model=VelocityMotionModel.create(alpha),
+        measurement_model=RangeBearingMeasurementModel.create(),
+    )
+
+    B, T, M = 16, 20, 3
+    x0 = rng.standard_normal((B, 3)) * 0.5
+    cov0 = np.broadcast_to(np.eye(3) * 0.01, (B, 3, 3)).copy()
+    us = rng.uniform(-1, 1, (T, 2)) * np.array([1.0, 0.5])
+    hcs = rng.random(T) > 0.3
+    ids = rng.choice([2, 5, 7, 11, 99], (T, M)).astype(np.int32)  # 99 unknown
+    zs = np.stack([rng.uniform(0.5, 5.0, (T, M)),
+                   rng.uniform(-3, 3, (T, M))], axis=-1)  # (T, M, 2)
+    masks = rng.random((T, M)) > 0.4
+    dts = rng.uniform(0.05, 0.2, T)
+
+    # banked fleet pass
+    xb = jnp.asarray(x0.T)
+    covb = jnp.asarray(cov0.transpose(1, 2, 0))
+    for t in range(T):
+        ub = jnp.broadcast_to(jnp.asarray(us[t])[:, None], (2, B))
+        xb, covb = banked.step(
+            xb, covb, ub, bool(hcs[t]), jnp.asarray(ids[t]),
+            jnp.asarray(zs[t]), jnp.asarray(masks[t]), float(dts[t]))
+
+    # reference-layout sequential pass, one filter per bank member
+    from rustrobotics_tpu.utils.state import GaussianState
+
+    for b in range(0, B, 5):  # spot-check a few bank members
+        st = GaussianState(x=jnp.asarray(x0[b]), cov=jnp.asarray(cov0[b]))
+        for t in range(T):
+            st = ref_filt.step(
+                st, jnp.asarray(us[t]), bool(hcs[t]), jnp.asarray(ids[t]),
+                jnp.asarray(zs[t]), jnp.asarray(masks[t]), float(dts[t]))
+        np.testing.assert_allclose(np.asarray(xb[:, b]), np.asarray(st.x),
+                                   rtol=1e-8, atol=1e-8)
+        np.testing.assert_allclose(
+            np.asarray(covb[:, :, b]), np.asarray(st.cov),
+            rtol=1e-7, atol=1e-9)
