@@ -199,6 +199,13 @@ def _time_device_path(graph, iters=10, repeats=5):
         elif _PALLAS_ERR:
             print(f"[bench] banded-pallas pre-flight failed: {_PALLAS_ERR}",
                   file=sys.stderr)
+    # block_until_ready does NOT block over the axon tunnel (measured
+    # 2026-08-20); completion is forced by fetching one scalar per leaf
+    # (utils.devtime.fetch), so each timed call includes one real
+    # dispatch+fetch RTT — the same "one sync" convention as always,
+    # now actually enforced.
+    from rustrobotics_tpu.utils.devtime import fetch
+
     timed = {}
     outs = {}
     for backend in backends:
@@ -210,8 +217,7 @@ def _time_device_path(graph, iters=10, repeats=5):
             run = make_optimize_jit(
                 g32, num_iterations=iters, backend=backend, tolerance=0.0
             )
-            out = run(g32)  # compile + warmup
-            jax.block_until_ready(out)
+            out = fetch(run(g32))  # compile + warmup
         except Exception as exc:  # a failing variant must not sink the bench
             print(f"[bench] backend {backend} failed: {exc}"[:300],
                   file=sys.stderr)
@@ -219,8 +225,7 @@ def _time_device_path(graph, iters=10, repeats=5):
         best = float("inf")
         for _ in range(repeats):
             t0 = time.perf_counter()
-            out = run(g32)
-            jax.block_until_ready(out)
+            out = fetch(run(g32))
             best = min(best, time.perf_counter() - t0)
         timed[backend] = best
         outs[backend] = out
@@ -395,15 +400,9 @@ def _rtt_extra():
     this floor is ~20-30 ms, so single-call numbers measure the tunnel,
     not the device — the throughput rows and the one-jitted-program
     headline are the device-side truth."""
-    f = jax.jit(lambda x: x + 1.0)
-    x = jnp.zeros((8,), jnp.float32)
-    jax.block_until_ready(f(x))
-    best = float("inf")
-    for _ in range(9):
-        t0 = time.perf_counter()
-        jax.block_until_ready(f(x))
-        best = min(best, time.perf_counter() - t0)
-    return round(best * 1e3, 3)
+    from rustrobotics_tpu.utils.devtime import scalar_fetch_rtt
+
+    return round(scalar_fetch_rtt(samples=9) * 1e3, 3)
 
 
 def _emit(name, iters_per_sec, host_s, device_s, extra):

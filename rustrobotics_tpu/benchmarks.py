@@ -29,13 +29,19 @@ BATCH = 4096
 
 
 def _bench(fn, *args, repeats=20):
-    out = fn(*args)
-    jax.block_until_ready(out)
+    """Wall time of one call INCLUDING one real sync.
+
+    ``jax.block_until_ready`` does not block over the axon tunnel
+    (measured 2026-08-20: 0.2 ms for a multi-second program), so
+    completion is forced by fetching one element per output leaf
+    (utils.devtime.fetch) — anything less times the dispatch queue."""
+    from rustrobotics_tpu.utils.devtime import fetch
+
+    fetch(fn(*args))
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
+        fetch(fn(*args))
         best = min(best, time.perf_counter() - t0)
     return best
 
@@ -43,13 +49,13 @@ def _bench(fn, *args, repeats=20):
 def _bench_out(fn, *args, repeats=20):
     """_bench that also returns the last output (for callers that need a
     result the timed runs already computed — no extra run)."""
-    out = fn(*args)
-    jax.block_until_ready(out)
+    from rustrobotics_tpu.utils.devtime import fetch
+
+    out = fetch(fn(*args))
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
+        out = fetch(fn(*args))
         best = min(best, time.perf_counter() - t0)
     return best, out
 

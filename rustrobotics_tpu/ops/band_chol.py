@@ -285,6 +285,63 @@ def _sym_chol(dcur):
     return jnp.linalg.cholesky(dsym)
 
 
+def _factorize_inv_unrolled(r_blocks):
+    """Chain factorization that carries explicit inverse factors.
+
+    The TPU-native variant of ``_factorize_unrolled``: the (kb, kb)
+    diagonal Cholesky uses the blocked matmul recursion
+    (ops/batched_tri.chol_blocked) and each factor's inverse is
+    computed inline (tril_inv), so the subdiagonal panel is a plain
+    matmul ``Lp = P Ld^-T`` instead of a 512-RHS triangular solve.
+    Matters because XLA's cholesky AND triangular_solve serialize over
+    batch dims on TPU (measured ~90 us PER batch item at kb=512): under
+    vmap (the fleet optimizer) this path keeps the whole factorization
+    at batched-matmul rates. Returns (lds, ldinvs, lps)."""
+    from rustrobotics_tpu.ops.batched_tri import chol_blocked, tril_inv
+
+    nb, kb = r_blocks.shape[0], r_blocks.shape[1]
+    lds, ldinvs, lps = [], [], []
+    dcur = r_blocks[0, :, kb:]
+    for j in range(nb):
+        ld = chol_blocked(dcur)
+        ldinv = tril_inv(ld)
+        lds.append(ld)
+        ldinvs.append(ldinv)
+        if j + 1 < nb:
+            p = r_blocks[j + 1, :, :kb]
+            lp = p @ ldinv.T
+            lps.append(lp)
+            dcur = r_blocks[j + 1, :, kb:] - lp @ lp.T
+    return lds, ldinvs, lps
+
+
+def _factorize_inv(r_blocks):
+    """Scan variant of ``_factorize_inv_unrolled`` (compile-time O(1)
+    in nb). Returns (lds, ldinvs, lps) as stacked arrays."""
+    from rustrobotics_tpu.ops.batched_tri import chol_blocked, tril_inv
+
+    nb, kb = r_blocks.shape[0], r_blocks.shape[1]
+    if nb == 1:
+        ld = chol_blocked(r_blocks[0, :, kb:])
+        return ld[None], tril_inv(ld)[None], \
+            jnp.zeros((0, kb, kb), r_blocks.dtype)
+
+    def step(dcur, r_next):
+        ld = chol_blocked(dcur)
+        ldinv = tril_inv(ld)
+        lp = r_next[:, :kb] @ ldinv.T
+        dnew = r_next[:, kb:] - lp @ lp.T
+        return dnew, (ld, ldinv, lp)
+
+    d_last, (lds_head, ldinvs_head, lps) = jax.lax.scan(
+        step, r_blocks[0, :, kb:], r_blocks[1:]
+    )
+    ld_last = chol_blocked(d_last)
+    lds = jnp.concatenate([lds_head, ld_last[None]])
+    ldinvs = jnp.concatenate([ldinvs_head, tril_inv(ld_last)[None]])
+    return lds, ldinvs, lps
+
+
 def _factorize_unrolled(r_blocks):
     """Python-unrolled chain: returns ([ld_j], [lp_j]) as lists."""
     nb, kb = r_blocks.shape[0], r_blocks.shape[1]
@@ -392,15 +449,17 @@ def band_substitute(lds, lps, bp):
 def _invert_factors_unrolled(lds):
     """Explicit triangular inverses of the per-block Cholesky factors.
 
-    One trsm with kb RHS columns per block — an MXU-wide operation that
-    is essentially free next to the factorization (TPU dissection
-    2026-08-19: the whole factor stage measures ~0 ms/iter) — whereas
-    the substitution's 1-RHS trsm chain was ~45% of the entire GN
-    iteration (2.0 ms on intel, 5.0 ms on dlr). With the inverses
-    precomputed, substitution is a pure-GEMV chain."""
-    eye = jnp.eye(lds[0].shape[-1], dtype=lds[0].dtype)
-    return [jax.scipy.linalg.solve_triangular(ld, eye, lower=True)
-            for ld in lds]
+    Substitution with precomputed inverses is a pure-GEMV chain (the
+    1-RHS trsm chain it replaced was ~45% of the GN iteration: 2.0 ms
+    on intel, 5.0 on dlr). The inversion itself uses the matmul-only
+    blocked routine (ops/batched_tri.tril_inv), NOT triangular_solve:
+    XLA's trsm serializes over batch dims on TPU, which made the
+    vmapped FLEET optimizer's inversion cost ~linear in B (12.9 ms at
+    B=8 on intel — tools/tpu_batch_dissect.py, 2026-08-20). tril_inv
+    vmaps at matmul rates."""
+    from rustrobotics_tpu.ops.batched_tri import tril_inv
+
+    return [tril_inv(ld) for ld in lds]
 
 
 def _substitute_inv_unrolled(ldinvs, lps, bp):
@@ -423,11 +482,11 @@ def _substitute_inv_unrolled(ldinvs, lps, bp):
 
 
 def _invert_factors(lds):
-    """Batched variant of `_invert_factors_unrolled` for the scan chain."""
-    eye = jnp.eye(lds.shape[-1], dtype=lds.dtype)
-    return jax.vmap(
-        lambda ld: jax.scipy.linalg.solve_triangular(ld, eye, lower=True)
-    )(lds)
+    """Batched variant of `_invert_factors_unrolled` for the scan chain
+    (matmul-only: see the batch-serialization note there)."""
+    from rustrobotics_tpu.ops.batched_tri import tril_inv
+
+    return tril_inv(lds)
 
 
 def band_substitute_inv(ldinvs, lps, bp):
@@ -484,17 +543,18 @@ def solve_band_chol(bl: BandCholLayout, vals, b):
 
         inv = SUBSTITUTE_MODE == "inv"
         if nb <= UNROLL_MAX_NB:
-            lds, lps = _factorize_unrolled(r_blocks)
             if inv:
-                xs = _substitute_inv_unrolled(
-                    _invert_factors_unrolled(lds), lps, bp)
+                _, ldinvs, lps = _factorize_inv_unrolled(r_blocks)
+                xs = _substitute_inv_unrolled(ldinvs, lps, bp)
             else:
+                lds, lps = _factorize_unrolled(r_blocks)
                 xs = _substitute_unrolled(lds, lps, bp)
         else:
-            lds, lps = _factorize(r_blocks)
             if inv:
-                xs = band_substitute_inv(_invert_factors(lds), lps, bp)
+                _, ldinvs, lps = _factorize_inv(r_blocks)
+                xs = band_substitute_inv(ldinvs, lps, bp)
             else:
+                lds, lps = _factorize(r_blocks)
                 xs = band_substitute(lds, lps, bp)
 
     y = xs.reshape(-1)[:npad] * dinv_p
@@ -576,6 +636,8 @@ def cr_factorize(r_blocks):
     d = _bsym(r_blocks[:, :, kb:])
     lo = r_blocks[:, :, :kb]
 
+    from rustrobotics_tpu.ops.batched_tri import chol_blocked, tril_inv
+
     m = nb
     levels = []
     zero1 = jnp.zeros((1, kb, kb), dtype)
@@ -587,9 +649,15 @@ def cr_factorize(r_blocks):
         l_next = lo[2::2]
         if l_next.shape[0] < h:
             l_next = jnp.concatenate([l_next, zero1])
-        f = jnp.linalg.cholesky(d[1::2])
-        a = _btsolve(f, l_odd)
-        b = _btsolve(f, jnp.swapaxes(l_next, -1, -2))
+        # blocked-matmul cholesky + inverse-multiply instead of XLA's
+        # cholesky/triangular_solve: both serialize over the (h,) batch
+        # axis on TPU (~90 us/item at kb=512), which was most of CR's
+        # level cost — the whole point of CR is that each level is ONE
+        # batched MXU operation
+        f = chol_blocked(d[1::2])
+        finv = tril_inv(f)
+        a = finv @ l_odd
+        b = finv @ jnp.swapaxes(l_next, -1, -2)
         ata = jnp.einsum("tki,tkj->tij", a, a)      # hits even 2t
         btb = jnp.einsum("tki,tkj->tij", b, b)      # hits even 2t+2
         if h < he:  # m odd: last even has no odd above it
@@ -659,13 +727,12 @@ def cr_invert(levels, f_root):
 
     Returns (inv_levels, root_inv): per level (Finv, A, B) with
     Finv = F^-1 (h, kb, kb), plus the root's inverse factor."""
-    kb = f_root.shape[-1]
-    eye = jnp.eye(kb, dtype=f_root.dtype)
+    from rustrobotics_tpu.ops.batched_tri import tril_inv
+
     inv_levels = []
     for f, a, b in levels:
-        finv = _btsolve(f, jnp.broadcast_to(eye, f.shape))
-        inv_levels.append((finv, a, b))
-    root_inv = jax.scipy.linalg.solve_triangular(f_root, eye, lower=True)
+        inv_levels.append((tril_inv(f), a, b))
+    root_inv = tril_inv(f_root)
     return inv_levels, root_inv
 
 

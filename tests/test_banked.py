@@ -171,26 +171,40 @@ def test_banked_ekf_kc_matches_sequential_reference_layout():
     masks = rng.random((T, M)) > 0.4
     dts = rng.uniform(0.05, 0.2, T)
 
-    # banked fleet pass
-    xb = jnp.asarray(x0.T)
-    covb = jnp.asarray(cov0.transpose(1, 2, 0))
-    for t in range(T):
-        ub = jnp.broadcast_to(jnp.asarray(us[t])[:, None], (2, B))
-        xb, covb = banked.step(
-            xb, covb, ub, bool(hcs[t]), jnp.asarray(ids[t]),
-            jnp.asarray(zs[t]), jnp.asarray(masks[t]), float(dts[t]))
+    ev = (jnp.asarray(us), jnp.asarray(hcs), jnp.asarray(ids),
+          jnp.asarray(zs), jnp.asarray(masks), jnp.asarray(dts))
 
-    # reference-layout sequential pass, one filter per bank member
+    # banked fleet pass: one jitted scan over the event stream
+    @jax.jit
+    def run_banked(x, cov):
+        def step(carry, e):
+            u, hc, idsi, zi, mi, dti = e
+            ub = jnp.broadcast_to(u[:, None], (2, B))
+            return banked.step(carry[0], carry[1], ub, hc, idsi, zi, mi,
+                               dti), None
+
+        return jax.lax.scan(step, (x, cov), ev)[0]
+
+    xb, covb = run_banked(jnp.asarray(x0.T),
+                          jnp.asarray(cov0.transpose(1, 2, 0)))
+
+    # reference-layout pass: vmapped over the bank, same scan
     from rustrobotics_tpu.utils.state import GaussianState
 
-    for b in range(0, B, 5):  # spot-check a few bank members
-        st = GaussianState(x=jnp.asarray(x0[b]), cov=jnp.asarray(cov0[b]))
-        for t in range(T):
-            st = ref_filt.step(
-                st, jnp.asarray(us[t]), bool(hcs[t]), jnp.asarray(ids[t]),
-                jnp.asarray(zs[t]), jnp.asarray(masks[t]), float(dts[t]))
-        np.testing.assert_allclose(np.asarray(xb[:, b]), np.asarray(st.x),
-                                   rtol=1e-8, atol=1e-8)
-        np.testing.assert_allclose(
-            np.asarray(covb[:, :, b]), np.asarray(st.cov),
-            rtol=1e-7, atol=1e-9)
+    @jax.jit
+    def run_ref(x, cov):
+        def one(x1, c1):
+            def step(st, e):
+                u, hc, idsi, zi, mi, dti = e
+                return ref_filt.step(st, u, hc, idsi, zi, mi, dti), None
+
+            return jax.lax.scan(step, GaussianState(x=x1, cov=c1), ev)[0]
+
+        return jax.vmap(one)(x, cov)
+
+    ref = run_ref(jnp.asarray(x0), jnp.asarray(cov0))
+    np.testing.assert_allclose(np.asarray(xb).T, np.asarray(ref.x),
+                               rtol=1e-8, atol=1e-8)
+    np.testing.assert_allclose(
+        np.asarray(covb).transpose(2, 0, 1), np.asarray(ref.cov),
+        rtol=1e-7, atol=1e-9)

@@ -45,8 +45,11 @@ def main():
     )
     from rustrobotics_tpu.ops import band_chol as bc
 
+    from rustrobotics_tpu.utils.devtime import scalar_fetch_rtt
+
+    rtt = scalar_fetch_rtt()
     out = {"platform": jax.devices()[0].platform, "reps": args.reps,
-           "graphs": []}
+           "rtt_ms": round(rtt * 1e3, 2), "graphs": []}
 
     for name in args.graphs:
         g = load_g2o(
@@ -72,19 +75,25 @@ def main():
             r_blocks, dinv_p = bc._prepare_blocks(bl, vals)
             if level == 1:
                 return poses + 1e-9 * r_blocks[0, 0, 0] + 1e-9 * chi2
+            # fused factorize+invert (the production inv path: blocked
+            # matmul cholesky + inline tril_inv — see band_chol)
             if unrolled:
-                lds, lps = bc._factorize_unrolled(r_blocks)
-                if level == 2:
-                    return poses + 1e-9 * lds[0][0, 0] + 1e-9 * chi2
-                xs = bc._substitute_inv_unrolled(
-                    bc._invert_factors_unrolled(lds), lps,
-                    _scaled_rhs(b, dinv_p))
+                lds, ldinvs, lps = bc._factorize_inv_unrolled(r_blocks)
+                guard = ldinvs[-1][0, 0] + lds[0][0, 0]
             else:
-                lds, lps = bc._factorize(r_blocks)
-                if level == 2:
-                    return poses + 1e-9 * lds[0, 0, 0] + 1e-9 * chi2
-                xs = bc.band_substitute_inv(
-                    bc._invert_factors(lds), lps, _scaled_rhs(b, dinv_p))
+                lds, ldinvs, lps = bc._factorize_inv(r_blocks)
+                guard = ldinvs[-1, 0, 0] + lds[0, 0, 0]
+            if level == 2:
+                return poses + 1e-9 * guard + 1e-9 * chi2
+            bp = _scaled_rhs(b, dinv_p)
+            if level == 3:
+                return poses + 1e-9 * bp[0, 0] + 1e-9 * guard + 1e-9 * chi2
+            if unrolled:
+                xs = bc._substitute_inv_unrolled(ldinvs, lps, bp)
+            else:
+                xs = bc.band_substitute_inv(ldinvs, lps, bp)
+            if level == 4:
+                return poses + 1e-9 * xs[0, 0] + 1e-9 * chi2
             y = xs.reshape(-1)[:npad] * dinv_p
             dx = y[inv_perm]
             return apply_update(gg, dx).poses2
@@ -94,7 +103,8 @@ def main():
             bp = jnp.concatenate([bp, jnp.zeros(npad - bl.n, jnp.float32)])
             return (bp * dinv_p).reshape(nb, kb)
 
-        levels = ["assemble", "scatter", "factor", "solve+retract"]
+        levels = ["assemble", "scatter", "factor+invert", "rhs-perm",
+                  "substitute", "unperm+retract"]
         row = {"graph": name, "kb": kb, "nb": nb, "per_batch": {}}
         for bsz in [int(x) for x in args.batches.split(",")]:
             poses_b = jnp.stack(
@@ -113,14 +123,16 @@ def main():
                                            length=args.reps)
                     return outp.sum()
 
-                r = prog(poses_b)
-                jax.block_until_ready(r)
+                # block_until_ready is a NO-OP over the axon tunnel:
+                # completion is forced by fetching the scalar result,
+                # and the dispatch+fetch RTT is subtracted
+                float(prog(poses_b))
                 best = float("inf")
                 for _ in range(3):
                     t0 = time.perf_counter()
-                    jax.block_until_ready(prog(poses_b))
+                    float(prog(poses_b))
                     best = min(best, time.perf_counter() - t0)
-                times.append(best / args.reps)
+                times.append(max(best - rtt, 0.0) / args.reps)
 
             deltas = [times[0]] + [times[i] - times[i - 1]
                                    for i in range(1, len(times))]

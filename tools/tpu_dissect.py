@@ -143,17 +143,24 @@ def main():
                "unrolled_chain": bool(unrolled)}
         levels = {1: "assemble", 2: "scatter", 3: "factor",
                   4: "substitute", 5: "retract_full"}
+        from rustrobotics_tpu.utils.devtime import fetch, scalar_fetch_rtt
+
+        # block_until_ready is a NO-OP over the axon tunnel (measured
+        # 2026-08-20): force completion by fetching one element per
+        # output leaf, and subtract the dispatch+fetch RTT
+        rtt = scalar_fetch_rtt()
+        rec["rtt_ms"] = round(rtt * 1e3, 2)
         times = {}
         for level in sorted(levels):
             prog = make_prog(level)
             pz = g.poses2
-            r = jax.block_until_ready(prog(pz))  # compile + warmup
+            fetch(prog(pz))  # compile + warmup
             best = float("inf")
             for _ in range(5):
                 t0 = time.perf_counter()
-                jax.block_until_ready(prog(pz))
+                fetch(prog(pz))
                 best = min(best, time.perf_counter() - t0)
-            times[level] = best
+            times[level] = max(best - rtt, 0.0)
             rec[f"L{level}_{levels[level]}_total_ms"] = best * 1e3
         per = args.reps
         rec["per_iter_ms"] = {
