@@ -428,6 +428,8 @@ def bench_pgo_batch(results, dataset_root="/root/reference/dataset",
         "value": round(batch / t_b, 2), "unit": "graphs/s",
         "batch": batch,
         "speedup_vs_sequential": round(t_seq / t_b, 2),
+        "batched_ms_per_graph_iter": round(1e3 * t_b / batch / iters, 3),
+        "seq_ms_per_graph_iter": round(1e3 * t_seq / batch / iters, 3),
     })
 
 

@@ -92,6 +92,30 @@ def cmd_landmarks(args):
     ate = ate_vs_groundtruth(ds, times, states)
     print(f"{args.algo}: {len(times)} events in {time.time()-t0:.2f}s, "
           f"ATE {ate:.3f} m")
+    if args.fleet:
+        # banked (lane-major) fleet replay: B EKF-KC filters from
+        # jittered initial states in one jitted scan — the TPU-native
+        # fleet-serving path (localization/banked.py)
+        from rustrobotics_tpu.localization.landmark_replay import (
+            run_utias_localization_fleet,
+        )
+
+        t0 = time.time()
+        times_f, xs = run_utias_localization_fleet(
+            ds, bank=args.fleet, max_events=args.events, seed=args.seed)
+        dt_f = time.time() - t0
+
+        class _Est:
+            x = None
+
+        est = _Est()
+        import numpy as np
+
+        est.x = np.asarray(xs.mean(axis=-1))
+        ate_f = ate_vs_groundtruth(ds, times_f, est)
+        print(f"fleet[{args.fleet} banked ekf-kc]: {len(times_f)} events "
+              f"x {args.fleet} filters in {dt_f:.2f}s, "
+              f"fleet-mean ATE {ate_f:.3f} m")
     if args.plot:
         import numpy as np
 
@@ -391,6 +415,9 @@ def main(argv=None):
     sp.add_argument("--algo", choices=["ekf", "ukf", "pf"], default="ekf")
     sp.add_argument("--events", type=int, default=10000)
     sp.add_argument("--particles", type=int, default=300)
+    sp.add_argument("--fleet", type=int, default=0, metavar="B",
+                    help="also replay B banked (lane-major) EKF-KC "
+                         "filters from jittered inits in one jitted scan")
     sp.add_argument("--plot", default=None)
     sp.set_defaults(fn=cmd_landmarks)
 

@@ -25,12 +25,17 @@ import jax.numpy as jnp
 
 
 def fetch(out):
-    """Force completion of ``out`` and return it: fetches ONE element
-    per leaf (block_until_ready is a no-op over the tunnel; fetching a
-    whole large leaf would time the tunnel's D2H bandwidth instead)."""
+    """Force completion of ``out`` and return it: fetches ONE scalar
+    from the FIRST non-empty leaf (block_until_ready is a no-op over
+    the tunnel; fetching a whole large leaf would time the tunnel's D2H
+    bandwidth instead). One leaf suffices: all outputs of a single
+    executable materialize together, so forcing any element drains the
+    call — fetching every leaf was measured to add ~1 RTT PER LEAF
+    (~200 ms on a 15-leaf pytree)."""
     for leaf in jax.tree_util.tree_leaves(out):
         if hasattr(leaf, "ravel") and getattr(leaf, "size", 0) > 0:
             float(leaf.ravel()[0])
+            break
     return out
 
 

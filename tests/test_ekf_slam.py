@@ -332,6 +332,7 @@ def test_fastslam_recovers_map_and_trajectory():
     assert lm_err.max() < 0.3, lm_err
 
 
+@pytest.mark.slow
 def test_fastslam_slam_course():
     """FastSLAM on the real slam_course log: with motion noise calibrated
     to its near-noise-free odometry, the particle map beats the

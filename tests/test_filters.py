@@ -167,6 +167,7 @@ def test_simulation_pf_tracks():
     assert err < 0.7, err
 
 
+@pytest.mark.slow
 def test_resampling_distribution():
     """All three schemes must resample proportionally to the weights."""
     w = jnp.asarray(np.array([0.1, 0.4, 0.2, 0.3]))

@@ -278,6 +278,7 @@ def test_occupancy_grid_maps_square_room():
 
 # --------------------------------------------------- scan-matching SLAM
 
+@pytest.mark.slow
 def test_scan_matching_pipeline():
     """ICP odometry + occupancy fusion on a simulated square room:
     recovered trajectory tracks ground truth and the fused map shows

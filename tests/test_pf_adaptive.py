@@ -9,6 +9,7 @@ filter bit-for-bit under the same keys.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from rustrobotics_tpu.localization import (
     AdaptiveParticleFilter,
@@ -42,6 +43,7 @@ def test_ess_bounds():
     assert np.isclose(float(effective_sample_size(concentrated)), 1.0)
 
 
+@pytest.mark.slow
 def test_always_resample_matches_plain_sir():
     """ess_frac >= 1 forces a resample every step -> the carried
     log-weights reset each step and the trajectory is IDENTICAL to

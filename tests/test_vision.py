@@ -41,6 +41,7 @@ def test_projection_decompose_roundtrip():
     np.testing.assert_allclose(np.asarray(t2), t, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_dlt_camera_recovers_pose():
     rng = np.random.default_rng(0)
     r = _rot(0.2, 0.1, -0.3)
