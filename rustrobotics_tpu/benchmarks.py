@@ -189,6 +189,58 @@ def bench_filter_updates(results):
     })
 
 
+def bench_fleet_replay(results, bank=1024, events=2000,
+                       dataset_root="/root/reference/dataset"):
+    """Banked EKF-KC fleet replay on UTIAS: B velocity+range-bearing
+    filters consume the same event stream in ONE jitted scan
+    (localization/banked.BankedEKFKC — the lane-major product path the
+    reference's one-filter-object architecture runs B times,
+    extended_kalman_filter.rs:81-165). Reports filter-events/s."""
+    import os
+
+    base = os.path.join(dataset_root, "utias0")
+    if not os.path.exists(base):
+        return
+    from rustrobotics_tpu.data.utias import load_utias
+    from rustrobotics_tpu.localization.landmark_replay import (
+        run_utias_localization_fleet,
+    )
+
+    del run_utias_localization_fleet  # entry point smoke-covered in tests
+    from rustrobotics_tpu.localization.landmark_replay import (
+        build_banked_filter,
+    )
+
+    ds = load_utias(base)
+    filt = build_banked_filter(ds, jnp.float32)
+    ev = ds.events(max_events=events, dtype=jnp.float32)
+    dt = ev.dt.at[0].set(ev.times[0])
+    x0 = jnp.zeros((3, bank), jnp.float32)
+    cov0 = jnp.broadcast_to(
+        (jnp.eye(3, dtype=jnp.float32) * 1e-10)[:, :, None], (3, 3, bank))
+
+    @jax.jit
+    def replay(x, cov):
+        def step(carry, e):
+            u, hc, ids, z, mask, dti = e
+            ub = jnp.broadcast_to(u[:, None], (2, bank))
+            return filt.step(carry[0], carry[1], ub, hc, ids, z, mask,
+                             dti), None
+
+        return jax.lax.scan(
+            step, (x, cov),
+            (ev.control, ev.has_control, ev.meas_ids, ev.meas_z,
+             ev.meas_mask, dt))[0]
+
+    t = _bench(replay, x0, cov0, repeats=5)
+    results.append({
+        "metric": f"utias_fleet_banked_ekf_kc_b{bank}",
+        "value": round(bank * events / t / 1e6, 3),
+        "unit": "Mfilter-events/s",
+        "events": events,
+    })
+
+
 def bench_pf_update(results):
     from rustrobotics_tpu.localization.simulation import run_simulation_jit
 
@@ -640,6 +692,7 @@ def run_suite():
         pass
     results = []
     bench_filter_updates(results)
+    bench_fleet_replay(results)
     bench_pf_update(results)
     bench_pf_scale(results)
     bench_fixed_lag(results)

@@ -506,11 +506,20 @@ def make_optimize_batch(
     optimizer owns one mutable graph and one UMFPACK factorization at a
     time (pose_graph_optimization.rs:215-303), so a fleet of B robots
     costs B sequential solves. Here one compiled XLA program optimizes
-    B same-structure graphs simultaneously — every linearization,
-    scatter and banded factorization gains a batch axis that fills the
-    MXU (batched kb x kb matmuls) instead of adding wall-clock. Row i of
-    the batched result is BIT-IDENTICAL to running ``make_optimize_jit``
-    on graph i alone (pinned in tests/test_pgo_batch.py).
+    B same-structure graphs simultaneously. Row i of the batched result
+    is BIT-IDENTICAL to running ``make_optimize_jit`` on graph i alone
+    (pinned in tests/test_pgo_batch.py).
+
+    What the batch axis buys, measured (TPU v5e, intel.g2o, B=8 —
+    docs/PERFORMANCE.md §Round 5): linearization and the factor's
+    matmuls batch onto the MXU essentially free, and the
+    factorization's triangular algebra is kept batch-parallel by the
+    matmul-only routines in ops/batched_tri (XLA's own
+    cholesky/triangular_solve serialize PER BATCH ITEM on TPU). The
+    remaining per-graph cost is bounded below by XLA's per-index
+    scatter charge on the band assembly (~115 ns per 8-wide vmapped
+    window) — net ~1.3x throughput at B=8 on the wall convention,
+    3.15 vs 4.11 ms per graph-iteration device-side.
 
     The while_loop termination vmaps to "run until every graph in the
     batch converges"; converged rows keep taking (numerically inert)

@@ -822,22 +822,19 @@ def _selected_inverse(bl: BandCholLayout, vals):
     """
     dtype = vals.dtype
     kb, nb = bl.kb, bl.nb
-    eye = jnp.eye(kb, dtype=dtype)
 
     with jax.default_matmul_precision("highest"):
         r_blocks, dinv_p = _prepare_blocks(bl, vals)
-        lds, lps = _factorize(r_blocks)
+        # fused factorize-with-inverses (matmul-only — the trsm-per-step
+        # variant serializes under any batch axis on TPU)
+        lds, ldinvs, lps = _factorize_inv(r_blocks)
 
-        ld_last_inv = jax.scipy.linalg.solve_triangular(
-            lds[-1], eye, lower=True
-        )
-        cov_last = ld_last_inv.T @ ld_last_inv
+        cov_last = ldinvs[-1].T @ ldinvs[-1]
         if nb == 1:
             return cov_last[None], jnp.zeros((1, kb, kb), dtype), dinv_p
 
         def bwd(cov_next, inp):
-            ld, lp = inp
-            ld_inv = jax.scipy.linalg.solve_triangular(ld, eye, lower=True)
+            ld_inv, lp = inp
             g = ld_inv.T @ ld_inv
             s_ld_inv = lp @ ld_inv  # S_j Ld_j^-1
             off = -cov_next @ s_ld_inv  # C_{j+1,j}
@@ -845,7 +842,7 @@ def _selected_inverse(bl: BandCholLayout, vals):
             return cov, (cov, off)
 
         _, (covs_head, offs) = jax.lax.scan(
-            bwd, cov_last, (lds[:-1], lps), reverse=True
+            bwd, cov_last, (ldinvs[:-1], lps), reverse=True
         )
         covs = jnp.concatenate([covs_head, cov_last[None]])
     return covs, offs, dinv_p
