@@ -33,6 +33,16 @@ import jax.numpy as jnp
 BASE = 128  # leaf size for the nilpotent-series product
 
 
+def _use_blocked():
+    """The blocked matmul formulations trade ~3-6x FLOPs for batch
+    parallelism — the right trade exactly where XLA's native
+    cholesky/triangular_solve serialize per batch item (TPU). On CPU
+    the natives are LAPACK-backed and strictly faster (the virtual-mesh
+    scaling proxy regressed ~2x when the blocked forms ran there), so
+    dispatch on the backend at trace time."""
+    return jax.default_backend() != "cpu"
+
+
 def _tril_inv_base(l):
     """(..., n, n) lower-triangular inverse via nilpotent squaring."""
     n = l.shape[-1]
@@ -54,7 +64,7 @@ def _tril_inv_base(l):
 CHOL_BASE = 64  # leaf size where XLA's per-item cholesky cost is small
 
 
-def chol_blocked(a, base: int = CHOL_BASE):
+def chol_blocked(a, base: int = CHOL_BASE, blocked: bool | None = None):
     """Batched Cholesky via Schur recursion — batch-parallel on TPU.
 
     XLA's ``cholesky`` serializes over batch dims on TPU exactly like
@@ -72,16 +82,19 @@ def chol_blocked(a, base: int = CHOL_BASE):
     lower triangle of ``a`` is read.
     """
     n = a.shape[-1]
-    if n <= base:
+    if blocked is None:
+        blocked = _use_blocked()
+    if n <= base or not blocked:
         return jnp.linalg.cholesky(_sym(a))
     h = n // 2
     a11 = a[..., :h, :h]
     a21 = a[..., h:, :h]
     a22 = a[..., h:, h:]
-    l11 = chol_blocked(a11, base)
+    l11 = chol_blocked(a11, base, blocked)
     with jax.default_matmul_precision("highest"):
-        l21 = a21 @ jnp.swapaxes(tril_inv(l11), -1, -2)
-        l22 = chol_blocked(a22 - l21 @ jnp.swapaxes(l21, -1, -2), base)
+        l21 = a21 @ jnp.swapaxes(tril_inv(l11, blocked), -1, -2)
+        l22 = chol_blocked(a22 - l21 @ jnp.swapaxes(l21, -1, -2),
+                           base, blocked)
     top = jnp.concatenate(
         [l11, jnp.zeros(a.shape[:-2] + (h, n - h), a.dtype)], axis=-1)
     bot = jnp.concatenate([l21, l22], axis=-1)
@@ -94,7 +107,7 @@ def _sym(a):
     return lo + jnp.swapaxes(jnp.tril(a, -1), -1, -2)
 
 
-def tril_inv(l):
+def tril_inv(l, blocked: bool | None = None):
     """Batched lower-triangular inverse, matmuls only.
 
     l: (..., n, n), n a multiple of BASE or < BASE. Returns L^-1 with
@@ -103,6 +116,13 @@ def tril_inv(l):
     may be added by vmap): that path serializes per batch element on
     TPU.
     """
+    if blocked is None:
+        blocked = _use_blocked()
+    if not blocked:
+        eye = jnp.broadcast_to(
+            jnp.eye(l.shape[-1], dtype=l.dtype), l.shape)
+        return jax.lax.linalg.triangular_solve(
+            l, eye, left_side=True, lower=True)
     n = l.shape[-1]
     if n <= BASE:
         return _tril_inv_base(l)
@@ -110,8 +130,8 @@ def tril_inv(l):
     l11 = l[..., :h, :h]
     l21 = l[..., h:, :h]
     l22 = l[..., h:, h:]
-    i11 = tril_inv(l11)
-    i22 = tril_inv(l22)
+    i11 = tril_inv(l11, blocked)
+    i22 = tril_inv(l22, blocked)
     with jax.default_matmul_precision("highest"):
         i21 = -(i22 @ (l21 @ i11))
     top = jnp.concatenate(
