@@ -30,3 +30,11 @@ from rustrobotics_tpu.localization.landmark_table import LandmarkTable  # noqa: 
 from rustrobotics_tpu.localization.kalman_scan import (  # noqa: F401
     parallel_linear_kalman_filter,
 )
+from rustrobotics_tpu.localization.banked import (  # noqa: F401
+    BankedEKF,
+    BankedEKFKC,
+    BankedUKF,
+    BankedUKFKC,
+    velocity_banked_ekf_kc,
+    velocity_banked_ukf_kc,
+)

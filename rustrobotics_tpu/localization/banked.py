@@ -316,6 +316,128 @@ class BankedEKFKC:
         return self.update(x, cov, ids, z, mask)
 
 
+@dataclasses.dataclass(frozen=True)
+class BankedUKFKC:
+    """Banked UKF with known correspondences: the lane-major fleet
+    variant of ``UnscentedKalmanFilterKnownCorrespondences`` (a filter
+    the reference leaves as ``todo!()``,
+    localization_landmarks.rs:62). Predict folds the sigma axis into
+    the bank (one wide model sweep) and adds control-space noise via
+    the input Jacobian (V M V^T); updates are sequential masked
+    per-landmark sigma updates with circular-bearing re-centering,
+    matching localization/ukf.py step for step. Bank on the LAST axis
+    throughout: x (D, B), cov (D, D, B)."""
+
+    predict: Callable      # (x (D,Bf), u (U,Bf), dt) -> (D,Bf)
+    jac_u: Callable        # (x (D,B), u (U,B), dt) -> (D,U,B)
+    noise_ctrl: Callable   # (u (U,B)) -> (U,U,B)
+    measure: Callable      # (x (D,Bf), lm (L,)) -> (Z,Bf)
+    q: jnp.ndarray         # (Z, Z)
+    landmarks: Any
+    mw: jnp.ndarray        # (2D+1,)
+    cw: jnp.ndarray
+    gamma: float
+    wrap_components: tuple = (1,)
+
+    def _sigma(self, x, cov):
+        """(D,B),(D,D,B) -> (2D+1, D, B)."""
+        cols = bt(bchol(cov)) * self.gamma
+        return jnp.concatenate(
+            [x[None], x[None] + cols, x[None] - cols], axis=0)
+
+    @staticmethod
+    def _fold(sp):
+        k, d, b = sp.shape
+        return sp.transpose(1, 0, 2).reshape(d, k * b)
+
+    @staticmethod
+    def _unfold(y, k, b):
+        return y.reshape(y.shape[0], k, b).transpose(1, 0, 2)
+
+    def predict_step(self, x, cov, u, dt):
+        d, b = x.shape
+        k = 2 * d + 1
+        sp = self._sigma(x, cov)
+        uf = jnp.broadcast_to(u[:, None], (u.shape[0], k, b)).reshape(
+            u.shape[0], k * b)
+        sp_pred = self._unfold(self.predict(self._fold(sp), uf, dt), k, b)
+        mean = jnp.einsum("k,kib->ib", self.mw, sp_pred)
+        dx = sp_pred - mean[None]
+        v = self.jac_u(mean, u, dt)
+        m = self.noise_ctrl(u)
+        cov_new = (jnp.einsum("k,kib,kjb->ijb", self.cw, dx, dx)
+                   + bmm(bmm(v, m), bt(v)))
+        return mean, cov_new
+
+    def _update_one(self, x, cov, lm, z, ok):
+        from rustrobotics_tpu.utils.angles import wrap_angle
+
+        d, b = x.shape
+        k = 2 * d + 1
+        qb = self.q.astype(x.dtype)[:, :, None]
+        sp = self._sigma(x, cov)
+        sp_z = self._unfold(self.measure(self._fold(sp), lm), k, b)
+        # circular bearings: re-center on the first sigma point's so a
+        # spread straddling +-pi doesn't corrupt the weighted mean
+        for c in self.wrap_components:
+            b0 = sp_z[0, c]
+            sp_z = sp_z.at[:, c].set(
+                b0[None] + wrap_angle(sp_z[:, c] - b0[None]))
+        mean_z = jnp.einsum("k,kib->ib", self.mw, sp_z)
+        dz = sp_z - mean_z[None]
+        cov_z = jnp.einsum("k,kib,kjb->ijb", self.cw, dz, dz) + qb
+        dx = sp - x[None]
+        cross = jnp.einsum("k,kib,kjb->ijb", self.cw, dx, dz)
+        gain = bmm(cross, binv(cov_z))
+        innov = z - mean_z
+        for c in self.wrap_components:
+            innov = innov.at[c].set(wrap_angle(innov[c]))
+        x_new = x + bmv(gain, innov)
+        cov_new = cov - bmm(gain, bmm(cov_z, bt(gain)))
+        x = jnp.where(ok, x_new, x)
+        cov = jnp.where(ok, cov_new, cov)
+        return x, cov
+
+    def update(self, x, cov, ids, z, mask):
+        lms, valid = self.landmarks.lookup(ids)
+        valid = jnp.logical_and(valid, mask)
+        if z.ndim == 2:
+            z = jnp.broadcast_to(z[:, :, None], z.shape + (x.shape[-1],))
+
+        def body(carry, inp):
+            xc, cc = carry
+            lm, zi, okk = inp
+            return self._update_one(xc, cc, lm, zi, okk), None
+
+        (x, cov), _ = jax.lax.scan(body, (x, cov), (lms, z, valid))
+        return x, cov
+
+    def step(self, x, cov, u, has_control, ids, z, mask, dt):
+        x_pred, cov_pred = self.predict_step(x, cov, u, dt)
+        x = jnp.where(has_control, x_pred, x)
+        cov = jnp.where(has_control, cov_pred, cov)
+        return self.update(x, cov, ids, z, mask)
+
+
+def velocity_banked_ukf_kc(alpha, q, landmarks, ukf_alpha=1.0,
+                           beta=2.0, kappa=0.0):
+    """Banked UKF-KC on the velocity motion model + range-bearing
+    measurement — the lane-major analog of
+    ``UnscentedKalmanFilterKnownCorrespondences.create`` with the
+    ``landmark_replay`` noise settings. Parity with the vmapped filter
+    is pinned in tests/test_banked.py (f64)."""
+    from rustrobotics_tpu.localization.ukf import sigma_weights
+
+    ekc = velocity_banked_ekf_kc(alpha, q, landmarks)
+    qz = jnp.asarray(q)
+    mw, cw, gamma = sigma_weights(3, ukf_alpha, beta, kappa)
+    return BankedUKFKC(predict=ekc.predict, jac_u=ekc.jac_u,
+                       noise_ctrl=ekc.noise_ctrl, measure=ekc.measure,
+                       q=qz, landmarks=ekc.landmarks,
+                       mw=mw.astype(qz.dtype), cw=cw.astype(qz.dtype),
+                       gamma=float(gamma), wrap_components=(1,))
+
+
 def velocity_banked_ekf_kc(alpha, q, landmarks):
     """Banked EKF-KC on the velocity motion model + range-bearing
     measurement — the fleet (lane-major) analog of ``build_filter``'s

@@ -208,3 +208,80 @@ def test_banked_ekf_kc_matches_sequential_reference_layout():
     np.testing.assert_allclose(
         np.asarray(covb).transpose(2, 0, 1), np.asarray(ref.cov),
         rtol=1e-7, atol=1e-9)
+
+
+def test_banked_ukf_kc_matches_sequential_reference_layout():
+    """Banked velocity-UKF-KC == the standard (per-filter) UKF-KC (a
+    filter the reference leaves todo!()) in f64, over a multi-event
+    stream with optional controls and masked/unknown landmark slots —
+    including the circular-bearing recentering."""
+    from rustrobotics_tpu.localization.banked import velocity_banked_ukf_kc
+    from rustrobotics_tpu.localization.landmark_table import LandmarkTable
+    from rustrobotics_tpu.localization.ukf import (
+        UnscentedKalmanFilterKnownCorrespondences,
+    )
+    from rustrobotics_tpu.models import (
+        RangeBearingMeasurementModel,
+        VelocityMotionModel,
+    )
+    from rustrobotics_tpu.utils.state import GaussianState
+
+    rng = np.random.default_rng(5)
+    lm_ids = np.array([2, 5, 7, 11, 13], np.int32)
+    lm_pos = rng.uniform(-4, 4, (5, 3))
+    table = LandmarkTable.create(ids=lm_ids, positions=lm_pos)
+    alpha = jnp.asarray([1.0, 1.0, 30.0, 30.0, 10.0, 10.0])
+    q = jnp.diag(jnp.asarray([0.1, 0.2]))
+
+    banked = velocity_banked_ukf_kc(alpha, q, table, ukf_alpha=1.0,
+                                    beta=2.0, kappa=0.0)
+    ref_filt = UnscentedKalmanFilterKnownCorrespondences.create(
+        q=q, landmarks=table,
+        motion_model=VelocityMotionModel.create(alpha),
+        measurement_model=RangeBearingMeasurementModel.create(),
+        alpha=1.0, beta=2.0, kappa=0.0,
+    )
+
+    B, T, M = 8, 15, 3
+    x0 = rng.standard_normal((B, 3)) * 0.5
+    cov0 = np.broadcast_to(np.eye(3) * 0.01, (B, 3, 3)).copy()
+    us = rng.uniform(-1, 1, (T, 2)) * np.array([1.0, 0.5])
+    hcs = rng.random(T) > 0.3
+    ids = rng.choice([2, 5, 7, 11, 99], (T, M)).astype(np.int32)
+    zs = np.stack([rng.uniform(0.5, 5.0, (T, M)),
+                   rng.uniform(-3, 3, (T, M))], axis=-1)
+    masks = rng.random((T, M)) > 0.4
+    dts = rng.uniform(0.05, 0.2, T)
+    ev = (jnp.asarray(us), jnp.asarray(hcs), jnp.asarray(ids),
+          jnp.asarray(zs), jnp.asarray(masks), jnp.asarray(dts))
+
+    @jax.jit
+    def run_banked(x, cov):
+        def step(carry, e):
+            u, hc, idsi, zi, mi, dti = e
+            ub = jnp.broadcast_to(u[:, None], (2, B))
+            return banked.step(carry[0], carry[1], ub, hc, idsi, zi, mi,
+                               dti), None
+
+        return jax.lax.scan(step, (x, cov), ev)[0]
+
+    xb, covb = run_banked(jnp.asarray(x0.T),
+                          jnp.asarray(cov0.transpose(1, 2, 0)))
+
+    @jax.jit
+    def run_ref(x, cov):
+        def one(x1, c1):
+            def step(st, e):
+                u, hc, idsi, zi, mi, dti = e
+                return ref_filt.step(st, u, hc, idsi, zi, mi, dti), None
+
+            return jax.lax.scan(step, GaussianState(x=x1, cov=c1), ev)[0]
+
+        return jax.vmap(one)(x, cov)
+
+    ref = run_ref(jnp.asarray(x0), jnp.asarray(cov0))
+    np.testing.assert_allclose(np.asarray(xb).T, np.asarray(ref.x),
+                               rtol=1e-7, atol=1e-7)
+    np.testing.assert_allclose(
+        np.asarray(covb).transpose(2, 0, 1), np.asarray(ref.cov),
+        rtol=1e-6, atol=1e-8)
