@@ -89,3 +89,36 @@ def test_block_jacobi_is_block_inverse(system):
         m[np.ix_(sel, sel)] = h[np.ix_(sel, sel)]
     want = np.linalg.solve(m, np.asarray(r))
     np.testing.assert_allclose(y, want, rtol=1e-8, atol=1e-8)
+
+
+@pytest.mark.slow
+def test_band_chol_scan_path_long_chain():
+    """The lax.scan factorization path (nb > UNROLL_MAX_NB) — which no
+    bundled graph reaches (intel nb=11, dlr 18, torus ~40) — pinned on a
+    12k-pose corridor (nb=141): the fused matmul-only factorize+invert
+    chain must solve the normal equations to near-roundoff RESIDUAL.
+    (Solution-vector comparison against another solver is meaningless
+    here: the long chain plus the 1e7 gauge prior put the condition
+    number near 1/eps(f64), so two exact solvers legitimately differ by
+    ~1e-4 in the solution while both have ~1e-13 residuals.)"""
+    import scipy.sparse as sp
+
+    from rustrobotics_tpu.mapping.assemble import build_layout, system_values
+    from rustrobotics_tpu.mapping.synthetic import (
+        synthetic_corridor_graph_2d,
+    )
+    from rustrobotics_tpu.ops import band_chol as bc
+
+    g = synthetic_corridor_graph_2d(num_poses=12000, closure_span=16,
+                                    dtype=jnp.float64)
+    lay = build_layout(g)
+    bl = bc.build_band_chol(lay)
+    assert bl.nb > bc.UNROLL_MAX_NB, bl.nb  # really the scan path
+    vals, b, _ = system_values(g, jnp.float64(0.0))
+    x = np.asarray(bc.solve_band_chol(bl, vals, b))
+    h = sp.coo_matrix(
+        (np.asarray(vals), (lay.rows, lay.cols)), shape=(lay.n, lay.n)
+    ).tocsr()
+    res = np.linalg.norm(h @ x - np.asarray(b)) / np.linalg.norm(
+        np.asarray(b))
+    assert res < 1e-10, res
