@@ -322,9 +322,13 @@ def _scaling_start():
         "print(json.dumps(res))\n"
     )
     try:
+        # stderr to a file, NOT a pipe: the CPU backend emits multi-KB
+        # warnings per cached-program load; an unread 64 KB pipe would
+        # block the child mid-run
+        errf = open("/tmp/rustrobotics_bench_scaling.err", "w")
         return subprocess.Popen(
             [sys.executable, "-c", code], stdout=subprocess.PIPE,
-            stderr=subprocess.PIPE, text=True,
+            stderr=errf, text=True,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
     except Exception:
@@ -338,8 +342,12 @@ def _scaling_collect(proc, timeout_s):
     if proc is None:
         return [], {"scaling_error": "failed to launch"}
     try:
-        out, err = proc.communicate(timeout=max(5, timeout_s))
+        out, _ = proc.communicate(timeout=max(5, timeout_s))
         if proc.returncode != 0:
+            try:
+                err = open("/tmp/rustrobotics_bench_scaling.err").read()
+            except Exception:
+                err = ""
             return [], {"scaling_error": (err or "subprocess failed")[-120:]}
         res = _json.loads(out.strip().splitlines()[-1])
     except Exception as exc:  # scaling proxy must never sink the bench
@@ -376,6 +384,7 @@ def _suite_rows(on_tpu, headline_backend, phase):
         ("filters", 120, lambda: bm.bench_filter_updates(rows)),
         ("fleet_replay", 90, lambda: bm.bench_fleet_replay(rows)),
         ("pgo_batch", 120, lambda: bm.bench_pgo_batch(rows)),
+        ("pgo_batch32", 150, lambda: bm.bench_pgo_batch(rows, batch=32)),
     ]
     families2 = [
         # graph_slam's 4 graphs cost ~360 s of uncached compiles: only
@@ -399,8 +408,9 @@ def _suite_rows(on_tpu, headline_backend, phase):
         if m.endswith("banked_update_throughput"):
             summary[m.replace("_update_throughput", "_Mups")] = row["value"]
         if m.startswith("pgo_batch") and "speedup_vs_sequential" in row:
-            summary["fleet_batch_speedup"] = row["speedup_vs_sequential"]
-            summary["fleet_graphs_per_sec"] = row["value"]
+            b = row.get("batch")
+            summary[f"fleet{b}_speedup"] = row["speedup_vs_sequential"]
+            summary[f"fleet{b}_graphs_per_sec"] = row["value"]
     return rows, summary
 
 
