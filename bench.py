@@ -18,7 +18,7 @@ Artifact contract (learned the hard way across rounds 3-4):
   referenced from the headline line by path — never embedded (embedding
   truncated round 3's line mid-JSON);
 - the whole run must finish inside a hard wall-clock budget
-  (``RUSTROBOTICS_BENCH_BUDGET_S``, default 720 s): round 4 ran past the
+  (``RUSTROBOTICS_BENCH_BUDGET_S``, default 1200 s): round 4 ran past the
   driver's timeout and produced nothing. The compact headline line is
   printed IMMEDIATELY after the headline measurement as a safety net;
   optional stages are budget-gated and an enriched (equally compact)
@@ -52,11 +52,14 @@ def _tpu_alive_probe(timeout_s=90):
     import subprocess
     import sys as _sys
 
+    # aliveness is proven by FETCHING the matmul's value: over the axon
+    # tunnel block_until_ready is a no-op, so a tunnel that accepts
+    # dispatches but cannot execute would otherwise pass the probe
     code = (
         "import jax, jax.numpy as jnp\n"
         "d = jax.devices()[0]\n"
         "x = jnp.ones((128, 128))\n"
-        "jnp.asarray((x @ x).sum()).block_until_ready()\n"
+        "assert float((x @ x).sum()) > 0\n"
         "print(d.platform)\n"
     )
     try:

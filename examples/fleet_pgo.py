@@ -16,6 +16,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+from rustrobotics_tpu.utils.devtime import fetch as __fetch  # real sync: block_until_ready is a no-op over the axon tunnel
 import jax.numpy as jnp
 import numpy as np
 
@@ -50,10 +51,10 @@ def main():
                               tolerance=0.0, backend="banded-direct")
     batched = stack_graphs(graphs)
     out = run(batched)  # compile + warmup
-    jax.block_until_ready(out)
+    __fetch(out)
     t0 = time.perf_counter()
     out, errs, _ = run(batched)
-    jax.block_until_ready(out)
+    __fetch(out)
     dt = time.perf_counter() - t0
 
     finals = [float(global_error(jax.tree.map(lambda a: a[i], out)))

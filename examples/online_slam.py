@@ -14,6 +14,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+from rustrobotics_tpu.utils.devtime import fetch as __fetch  # real sync: block_until_ready is a no-op over the axon tunnel
 
 def main():
     ap = argparse.ArgumentParser()
@@ -51,10 +52,10 @@ def main():
                             state, odos_)[0]
 
     out = session(state, odos)  # compile + run
-    jax.block_until_ready(out)
+    __fetch(out)
     t0 = time.perf_counter()
     out = session(state, odos)
-    jax.block_until_ready(out)
+    __fetch(out)
     dt = time.perf_counter() - t0
 
     poses = np.asarray(out.poses)

@@ -331,12 +331,14 @@ def bench_pf_sharded(results, num_particles=1_048_576, steps=5):
                        NamedSharding(mesh, P()))
     step = make_sharded_pf_step_bounded(mesh, pf, num_particles)
 
+    from rustrobotics_tpu.utils.devtime import fetch
+
     out, rounds = step(jax.random.key(0), particles, u, z, 0.1)
-    jax.block_until_ready(out)
+    fetch(out)
     t0 = time.perf_counter()
     for k in range(steps):
         out, rounds = step(jax.random.key(k + 1), out, u, z, 0.1)
-    jax.block_until_ready(out)
+    fetch(out)
     t = (time.perf_counter() - t0) / steps
     results.append({
         "metric": "pf_sharded_1m_bounded_exchange",
@@ -403,8 +405,10 @@ def bench_graph_slam(results, dataset_root="/root/reference/dataset",
             try:
                 run = make_optimize_jit(graph, num_iterations=iters,
                                         backend=backend, tolerance=0.0)
+                from rustrobotics_tpu.utils.devtime import fetch
+
                 t0 = time.perf_counter()
-                jax.block_until_ready(run(graph))
+                fetch(run(graph))
                 first = time.perf_counter() - t0
                 t = _bench(lambda: run(graph), repeats=6)
             except Exception as exc:  # one failing variant must not

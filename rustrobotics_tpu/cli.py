@@ -325,13 +325,16 @@ def cmd_doctor(args):
     import sys as _sys
     import time
 
+    # the sync is forced by a SCALAR FETCH, not block_until_ready: the
+    # latter is a no-op over the axon tunnel (utils/devtime), which
+    # would make this report ~0 ms on a 25 ms tunnel
     code = (
         "import time, jax, jax.numpy as jnp\n"
         "d = jax.devices()[0]\n"
         "x = jnp.ones((512, 512))\n"
-        "f = jax.jit(lambda a: a @ a)\n"
-        "jax.block_until_ready(f(x))\n"
-        "t0 = time.perf_counter(); jax.block_until_ready(f(x))\n"
+        "f = jax.jit(lambda a: (a @ a).sum())\n"
+        "float(f(x))\n"
+        "t0 = time.perf_counter(); float(f(x))\n"
         "dt = (time.perf_counter() - t0) * 1e3\n"
         "print(f'{d.platform} {d.device_kind} sync_ms={dt:.1f} "
         "n={len(jax.devices())}')\n"

@@ -258,6 +258,8 @@ def _measure_backend(graph_template: PoseGraphData, layout):
     "dense" when the RCM bandwidth rules the banded path out."""
     import time
 
+    from rustrobotics_tpu.utils.devtime import fetch
+
     dtype = (graph_template.poses2.dtype if graph_template.poses2.size
              else graph_template.poses3.dtype)
     vals, b, _ = system_values(graph_template, jnp.asarray(0.0, dtype))
@@ -276,13 +278,15 @@ def _measure_backend(graph_template: PoseGraphData, layout):
                 continue
             run = jax.jit(solve)
             x = run(vals, b)
-            jax.block_until_ready(x)
+            # fetch, not block_until_ready: the latter is a no-op over
+            # the axon tunnel (utils/devtime) and would make this
+            # self-tuning measurement pick backends at random
             if not bool(jnp.all(jnp.isfinite(x))):
                 continue
             best = float("inf")
             for _ in range(3):
                 t0 = time.perf_counter()
-                jax.block_until_ready(run(vals, b))
+                fetch(run(vals, b))
                 best = min(best, time.perf_counter() - t0)
             timed[name] = best
         except Exception:  # a failing candidate must not sink the build
